@@ -1,0 +1,63 @@
+"""Detection stage: RDM -> cascaded CFAR flags -> padded detection list.
+
+Replicates the stage-3 driver behavior (``CFAR_WangCai/main_cfar.m:85-96``):
+the RDM magnitude is re-notched with the wide G1 clutter notch and the
+cascaded 2-D CFAR runs per pulse segment.  ``n_clutter`` follows
+``MTD_0v_num = floor(MTD_V / deltaV)`` (``main_cfar.m:56-58``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_signal_process_tpu.config import CFARConfig, RadarProfile
+from radar_signal_process_tpu.ops.cfar import segmented_cfar
+from radar_signal_process_tpu.ops.measure import DetectionList, extract_detections
+from radar_signal_process_tpu.ops.mtd import zero_velocity_notch
+
+
+def clutter_cells(profile: RadarProfile, n_fft: int, clutter_v: float = 3.0) -> int:
+    """``MTD_0_num = floor(MTD_V / deltaV)`` (``main_cfar.m:56-58``)."""
+    return int(math.floor(clutter_v / profile.delta_v(n_fft)))
+
+
+def detect_rdm(
+    rdm: jnp.ndarray,
+    profile: RadarProfile,
+    n_clutter: int,
+    cfg: CFARConfig | None = None,
+    renotch_divisor: int | None = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RDM (..., n_v, n_r) -> (cascade flags, velocity-only flags)."""
+    cfg = cfg or profile.cfar
+    if renotch_divisor:
+        rdm = zero_velocity_notch(rdm, divisor=renotch_divisor)
+    segments = profile.cfar_segments or ((0, rdm.shape[-1]),)
+    return segmented_cfar(rdm, segments, cfg, n_clutter)
+
+
+def make_detector(
+    profile: RadarProfile,
+    n_clutter: int | None = None,
+    clutter_v: float = 3.0,
+    max_detections: int = 64,
+    renotch_divisor: int | None = 20,
+):
+    """Jitted detector: RDM (n_v, n_r) -> (flags, vflags, DetectionList)."""
+
+    @jax.jit
+    def detect(rdm: jnp.ndarray):
+        nc = (
+            n_clutter
+            if n_clutter is not None
+            else clutter_cells(profile, rdm.shape[-2], clutter_v)
+        )
+        flags, vflags = detect_rdm(rdm, profile, nc, renotch_divisor=renotch_divisor)
+        dets: DetectionList = extract_detections(flags, rdm, max_detections)
+        return flags, vflags, dets
+
+    return detect

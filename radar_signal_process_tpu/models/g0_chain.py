@@ -1,0 +1,214 @@
+"""G0 end-to-end chain: the fully-vectorized serve-one-frame pipeline.
+
+Replicates ``CFAR_WangCai/DMX_SignalProcessing_main_xzr.m`` (the only
+reference driver with no inner loops, SURVEY.md §3.4): per frame,
+
+* split each beam into short / long pulse segments (:330-335),
+* FIR-filter the short segment with the raw 35-tap coefficients (:343-344),
+* matched-filter the long segment in the frequency domain with a batched
+  512-point FFT, peak-at-leading-edge convention
+  ``matchF2 = conj(fft(win .* matchWaveform, 512))`` (:200-202, :346-353),
+* slow-time Hamming-windowed 2048-point MTD FFT (:413-418),
+* monopulse sum (|L|+|R|) and difference (|R|-|L|) beams (:420-426),
+* zero the low-velocity clutter rows of the *unshifted* spectrum (:462-465),
+* cascaded 2-D CFAR per segment (:468-472),
+* sub-bin range/velocity + monopulse elevation measurement (:489-516).
+
+The whole per-frame chain is one jitted function; both beams and both pulse
+segments are processed as batched tensor ops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_signal_process_tpu.config import (
+    CFARConfig,
+    G0ChainConfig,
+    G0_PROFILE,
+    NARROW_PULSE_FIR_TAPS,
+    RadarProfile,
+)
+from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
+from radar_signal_process_tpu.ops.measure import (
+    DetectionList,
+    Measurements,
+    extract_detections,
+    motion_parameters,
+)
+from radar_signal_process_tpu.ops.mtd import zero_velocity_notch_unshifted
+from radar_signal_process_tpu.ops.pulse_compression import fir_compress
+from radar_signal_process_tpu.ops.tables import angle_k_values, freq_value
+from radar_signal_process_tpu.ops.windows import make_window
+
+
+class G0FrameResult(NamedTuple):
+    rdm_sum_short: jnp.ndarray    # (mtd_fft, point_short)
+    rdm_sum_long: jnp.ndarray     # (mtd_fft, pc_fft)
+    rdm_diff_short: jnp.ndarray
+    rdm_diff_long: jnp.ndarray
+    flags_short: jnp.ndarray
+    flags_long: jnp.ndarray
+    vflags_short: jnp.ndarray
+    vflags_long: jnp.ndarray
+    detections_short: DetectionList
+    detections_long: DetectionList
+    measurements_short: Measurements
+    measurements_long: Measurements
+
+
+class G0Chain:
+    """Compiled G0 end-to-end processor for a fixed (freq index, beam pos)."""
+
+    def __init__(
+        self,
+        profile: RadarProfile = G0_PROFILE,
+        chain: G0ChainConfig = G0ChainConfig(),
+        freq_index: int = 5,
+        beam_pos: int = 0,
+        match_waveform: np.ndarray | None = None,
+        power_norm: bool = True,
+        max_detections: int = 32,
+    ):
+        self.profile = profile
+        self.chain = chain
+        self.freq_index = freq_index
+        self.beam_pos = beam_pos
+        self.max_detections = max_detections
+
+        ts = profile.ts
+        self.fc = freq_value(freq_index)
+        self.wavelength = 299792458.0 / self.fc  # lamda = c/fc (:315)
+
+        # ---- matched filter for the long pulse (:152-205) ----
+        tau2 = profile.pulse_widths[1]
+        if match_waveform is None:
+            # LFM reference: exp(j*pi*K2*t^2), K2 = B/tau2 (:161-162)
+            n2 = int(round(tau2 / ts))
+            t2 = np.arange(n2) * ts - tau2 / 2.0
+            k2 = profile.bandwidth / tau2
+            match_waveform = np.exp(1j * np.pi * k2 * t2**2)
+        if power_norm:
+            match_waveform = match_waveform / np.linalg.norm(match_waveform)  # (:166)
+        win = make_window(chain.pc_window, len(match_waveform), chain.pc_window_beta)
+        self._match_spec = np.conj(
+            np.fft.fft(match_waveform * win, chain.pc_fft_length)
+        )  # peak at pulse leading edge (:202)
+
+        # ---- MTD window (:208-229) ----
+        self._mtd_window = make_window(chain.mtd_window, profile.prt_per_frame)
+
+        # ---- clutter / scales (:317-327, :462) ----
+        delta_doppler = profile.prf / chain.mtd_fft_length
+        self.delta_v = self.wavelength * delta_doppler / 2.0
+        self.n_clutter = int(math.floor(chain.mtd_clutter_v / self.delta_v))
+        f_scale = np.fft.fftshift(
+            np.arange(-chain.mtd_fft_length // 2, chain.mtd_fft_length // 2)
+            * delta_doppler
+        )
+        self.v_scale = -self.wavelength * f_scale / 2.0  # (:326-327)
+        point_short = profile.segment_points[0]
+        self.r_scale_short = (
+            np.arange(point_short) * profile.delta_r
+            + chain.r_sys_err_short
+            - chain.r_measure_err_short
+        )
+        self.r_scale_long = (
+            np.arange(chain.pc_fft_length) * profile.delta_r
+            + chain.r_sys_err_long
+            - chain.r_measure_err_long
+        )
+        self.k_value = float(angle_k_values(chain.sys_num)[freq_index, beam_pos])
+
+        self._process = jax.jit(self._process_impl)
+
+    def compensate_angle(self, angle_code: np.ndarray) -> np.ndarray:
+        """North-angle compensation: rem(angle + northAngle + angleE1, 360) (:310)."""
+        return np.remainder(
+            angle_code + self.chain.north_angle + self.chain.angle_e1, 360.0
+        )
+
+    # ------------------------------------------------------------------ core
+    def _pc(self, left: jnp.ndarray, right: jnp.ndarray):
+        prof, chain = self.profile, self.chain
+        point_short = prof.segment_points[0]
+        beams = jnp.stack([left, right])  # (2, prt, point_prt)
+        short = beams[..., :point_short]
+        long = beams[..., point_short:]
+
+        # short: raw-tap causal FIR, no normalization / delay roll (:146,:343)
+        short_mf = fir_compress(
+            short, NARROW_PULSE_FIR_TAPS, normalize=False, post_scale=1.0,
+            roll_group_delay=False,
+        )
+        # long: batched frequency-domain matched filter (:348-353)
+        spec = jnp.fft.fft(long, chain.pc_fft_length, axis=-1)
+        match = jnp.asarray(self._match_spec, dtype=spec.dtype)
+        long_mf = jnp.fft.ifft(spec * match, axis=-1)
+        return short_mf, long_mf
+
+    def _mtd(self, mf: jnp.ndarray) -> jnp.ndarray:
+        # slow-time windowed FFT, unshifted (:413-418)
+        w = jnp.asarray(self._mtd_window, dtype=jnp.real(mf).dtype)
+        return jnp.fft.fft(mf * w[None, :, None], self.chain.mtd_fft_length, axis=-2)
+
+    def _process_impl(self, left: jnp.ndarray, right: jnp.ndarray) -> G0FrameResult:
+        prof = self.profile
+        cfar = prof.cfar
+
+        short_mf, long_mf = self._pc(left, right)
+        mtd_short = self._mtd(short_mf)   # (2, mtd_fft, point_short)
+        mtd_long = self._mtd(long_mf)     # (2, mtd_fft, pc_fft)
+
+        abs_short, abs_long = jnp.abs(mtd_short), jnp.abs(mtd_long)
+        sum_short = abs_short[0] + abs_short[1]     # |L| + |R| (:421-422)
+        sum_long = abs_long[0] + abs_long[1]
+        diff_short = abs_short[1] - abs_short[0]    # |R| - |L| (:425-426)
+        diff_long = abs_long[1] - abs_long[0]
+
+        sum_short = zero_velocity_notch_unshifted(sum_short, self.n_clutter)
+        sum_long = zero_velocity_notch_unshifted(sum_long, self.n_clutter)
+
+        flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, self.n_clutter)
+        flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, self.n_clutter)
+
+        dets_s = extract_detections(flags_s, sum_short, self.max_detections)
+        dets_l = extract_detections(flags_l, sum_long, self.max_detections)
+
+        common = dict(
+            delta_r=prof.delta_r,
+            v_scale=self.v_scale,
+            delta_v=self.delta_v,
+            k_value=self.k_value,
+            beam_pos=self.beam_pos,
+            beam_angle_step=self.chain.beam_angle_step,
+            n_clutter=self.n_clutter,
+            extra_dots=self.chain.extra_dots,
+            r_interp=self.chain.r_interp_times,
+            v_interp=self.chain.v_interp_times,
+            ele_angle_comp=self.chain.ele_angle_comp,
+            ele_angle_sys_err=self.chain.ele_angle_sys_err,
+        )
+        meas_s = motion_parameters(
+            sum_short, diff_short, dets_s, r_scale=self.r_scale_short, **common
+        )
+        meas_l = motion_parameters(
+            sum_long, diff_long, dets_l, r_scale=self.r_scale_long, **common
+        )
+        return G0FrameResult(
+            rdm_sum_short=sum_short, rdm_sum_long=sum_long,
+            rdm_diff_short=diff_short, rdm_diff_long=diff_long,
+            flags_short=flags_s, flags_long=flags_l,
+            vflags_short=vflags_s, vflags_long=vflags_l,
+            detections_short=dets_s, detections_long=dets_l,
+            measurements_short=meas_s, measurements_long=meas_l,
+        )
+
+    def process_frame(self, left, right) -> G0FrameResult:
+        """Process one frame: ``left``/``right`` (prt_per_frame, point_prt)."""
+        return self._process(jnp.asarray(left), jnp.asarray(right))

@@ -1,0 +1,46 @@
+"""G1 simulation/validation chain (``MatlabProcess_xuzerui/main.m:206-239``).
+
+Processes a real echo frame and a simulated-target frame side by side:
+segmented pulse compression -> range re-concatenation (1031 -> 868 columns)
+-> Kaiser-windowed Doppler FFT -> zero-velocity notch.  This is the
+reference's de-facto integration test (SURVEY.md §3.5) and the template for
+the framework's synthetic-target golden tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radar_signal_process_tpu.config import G1_PROFILE, G1_RANGE_CONCAT, RadarProfile
+from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
+from radar_signal_process_tpu.ops.pulse_compression import (
+    range_concatenate,
+    segmented_pulse_compression,
+)
+from radar_signal_process_tpu.ops.waveforms import reference_pulses
+from radar_signal_process_tpu.ops.windows import make_window
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def g1_validation_chain(
+    echo: jnp.ndarray, profile: RadarProfile = G1_PROFILE
+) -> jnp.ndarray:
+    """Echo (..., n_pulses, 1031) -> notched magnitude RDM (..., n_pulses, 868).
+
+    The G1 chain differs from G2's ``mtd_produce`` by the range
+    re-concatenation step between pulse compression and the Doppler FFT
+    (``main.m:206-239``); the notch divisor comes from the profile
+    (``fun_0v_pressing.m`` variants).
+    """
+    pulses = reference_pulses(profile)
+    pc = segmented_pulse_compression(echo, profile, pulses)
+    pc = range_concatenate(pc, G1_RANGE_CONCAT)
+    n_pulses = echo.shape[-2]
+    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+    return zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)

@@ -1,0 +1,247 @@
+"""Range-sharded execution with halo exchange (shard_map + collectives).
+
+The distributed design of SURVEY.md §5.8/§7.1: beams/slices/frames are pure
+data parallelism ("dp" axis); the range axis is the sequence-parallel ("sp")
+axis.  Pulse compression runs PRT-sharded (fast time local), an ``all_to_all``
+re-shards to range so the slow-time Doppler FFT is local per range bin, and
+the CFAR range dimension exchanges its reference/guard-cell halos with
+neighbor shards via ``ppermute`` — ICI traffic only, no host round-trips.
+
+Halo discipline for the exact cascade: a cell's cascade mark depends on
+winners within ±E cells, winners depend on candidate flags within ±E, and a
+candidate flag needs ref+guard context — so a halo of ``ref+guard+2E``
+columns makes every center-cell result bit-identical to the unsharded
+detector, including the global-edge fallback rules (validity is evaluated on
+*global* column indices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radar_signal_process_tpu.config import CFARConfig, RadarProfile
+from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
+from radar_signal_process_tpu.ops.pulse_compression import segmented_pulse_compression
+from radar_signal_process_tpu.ops.waveforms import reference_pulses
+from radar_signal_process_tpu.ops.windows import make_window
+
+
+def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Exchange ``halo`` edge columns (last axis) with ring neighbors.
+
+    Returns the local block extended to ``local + 2*halo`` columns.  Edge
+    shards receive wrapped data in their outer halo; callers mask those
+    positions via global-index validity (the reference's own edge fallback).
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        # single shard: wrap (masked by validity downstream)
+        return jnp.concatenate([x[..., -halo:], x, x[..., :halo]], axis=-1)
+    to_right = [(i, (i + 1) % n) for i in range(n)]
+    to_left = [(i, (i - 1) % n) for i in range(n)]
+    from_left = lax.ppermute(x[..., -halo:], axis_name, to_right)
+    from_right = lax.ppermute(x[..., :halo], axis_name, to_left)
+    return jnp.concatenate([from_left, x, from_right], axis=-1)
+
+
+def _global_col_index(local_n: int, halo: int, axis_name: str) -> jnp.ndarray:
+    """Global column index of each extended-block column."""
+    shard = lax.axis_index(axis_name)
+    return shard * local_n + jnp.arange(-halo, local_n + halo)
+
+
+def _rolled_ref_level(
+    ext: jnp.ndarray,
+    gidx: jnp.ndarray,
+    n_global: int,
+    ref_cells: int,
+    guard_cells: int,
+    method: int,
+) -> jnp.ndarray:
+    """GO/SO reference level on an extended block with global-index validity."""
+    r, g = ref_cells, guard_cells
+    left_sum = jnp.zeros_like(ext)
+    right_sum = jnp.zeros_like(ext)
+    for k in range(g + 1, g + r + 1):
+        left_sum = left_sum + jnp.roll(ext, k, axis=-1)
+        right_sum = right_sum + jnp.roll(ext, -k, axis=-1)
+    left_mean = left_sum / r
+    right_mean = right_sum / r
+    left_valid = gidx - (g + r) >= 0
+    right_valid = gidx + (g + r) <= n_global - 1
+    left_used = jnp.where(left_valid, left_mean, right_mean)
+    right_used = jnp.where(right_valid, right_mean, left_mean)
+    if method == 0:
+        return jnp.maximum(left_used, right_used)
+    return jnp.minimum(left_used, right_used)
+
+
+def sharded_cfar1d_ref_level(
+    x_local: jnp.ndarray,
+    cfg: CFARConfig,
+    axis_name: str,
+    n_global: int,
+) -> jnp.ndarray:
+    """Range-dim CFAR reference level for a range-sharded block (last axis)."""
+    local_n = x_local.shape[-1]
+    h = cfg.ref_cells + cfg.guard_cells
+    ext = halo_exchange(x_local, h, axis_name)
+    gidx = _global_col_index(local_n, h, axis_name)
+    ref = _rolled_ref_level(
+        ext, gidx, n_global, cfg.ref_cells, cfg.guard_cells, cfg.method
+    )
+    return ref[..., h : h + local_n]
+
+
+def sharded_cascaded_cfar2d(
+    rdm_local: jnp.ndarray,
+    cfg: CFARConfig,
+    n_clutter: int,
+    axis_name: str,
+    n_global: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Range-sharded cascaded 2-D CFAR, bit-identical to ``cascaded_cfar2d``.
+
+    ``rdm_local``: (..., n_velocity, local_range).  The velocity axis is
+    unsharded (local); only the range axis is distributed.
+    """
+    nv = rdm_local.shape[-2]
+    local_n = rdm_local.shape[-1]
+    r, g, e = cfg.ref_cells, cfg.guard_cells, cfg.range_extend_cells
+    lo, hi = n_clutter + 1, nv - n_clutter
+    used = rdm_local[..., lo:hi, :]
+
+    h = r + g + 2 * e
+    ext = halo_exchange(used, h, axis_name)
+    gidx = _global_col_index(local_n, h, axis_name)
+
+    # velocity-dim CFAR: along the local (unsharded) velocity axis, computed
+    # for the extended block so neighbor-shard winners are visible.
+    ref_v = _rolled_ref_level_velocity(ext, cfg)
+    vflag_ext = ext >= ref_v * cfg.threshold
+
+    vflags = jnp.zeros(rdm_local.shape, dtype=bool)
+    vflags = vflags.at[..., lo:hi, :].set(vflag_ext[..., h : h + local_n])
+    if not cfg.range_detect:
+        return vflags, vflags
+
+    # dense range-dim CFAR on the extended block
+    ref_r = _rolled_ref_level(ext, gidx, n_global, r, g, cfg.method)
+    rflag_ext = ext >= ref_r * cfg.threshold
+
+    # candidate search around every cell
+    neg_inf = jnp.asarray(-jnp.inf, dtype=ext.dtype)
+    in_bounds = (gidx >= 0) & (gidx <= n_global - 1)
+    offsets = list(range(-e, e + 1))
+    cand = []
+    for d in offsets:
+        flag_d = jnp.roll(rflag_ext, -d, axis=-1)
+        val_d = jnp.roll(ext, -d, axis=-1)
+        inb_d = jnp.roll(in_bounds, -d)
+        cand.append(jnp.where(flag_d & inb_d, val_d, neg_inf))
+    stacked = jnp.stack(cand, axis=-1)
+    best = jnp.argmax(stacked, axis=-1)
+    winner = vflag_ext & (jnp.max(stacked, axis=-1) > neg_inf)
+
+    # receive-side scatter: cell c is marked when the winner at c-d chose d
+    mark = jnp.zeros(ext.shape, dtype=bool)
+    for i, d in enumerate(offsets):
+        sel = winner & (best == i)
+        mark = mark | jnp.roll(sel, d, axis=-1)
+
+    flags = jnp.zeros(rdm_local.shape, dtype=bool)
+    flags = flags.at[..., lo:hi, :].set(mark[..., h : h + local_n])
+    return flags, vflags
+
+
+def _rolled_ref_level_velocity(ext: jnp.ndarray, cfg: CFARConfig) -> jnp.ndarray:
+    """GO/SO reference level along the (unsharded) velocity axis (-2)."""
+    r, g = cfg.ref_cells, cfg.guard_cells
+    nv = ext.shape[-2]
+    left_sum = jnp.zeros_like(ext)
+    right_sum = jnp.zeros_like(ext)
+    for k in range(g + 1, g + r + 1):
+        left_sum = left_sum + jnp.roll(ext, k, axis=-2)
+        right_sum = right_sum + jnp.roll(ext, -k, axis=-2)
+    left_mean = left_sum / r
+    right_mean = right_sum / r
+    idx = jnp.arange(nv).reshape((nv,) + (1,) * 1)
+    left_valid = idx - (g + r) >= 0
+    right_valid = idx + (g + r) <= nv - 1
+    left_used = jnp.where(left_valid, left_mean, right_mean)
+    right_used = jnp.where(right_valid, right_mean, left_mean)
+    if cfg.method == 0:
+        return jnp.maximum(left_used, right_used)
+    return jnp.minimum(left_used, right_used)
+
+
+# --------------------------------------------------------------------- pipeline
+def make_sharded_pipeline(
+    profile: RadarProfile,
+    mesh: Mesh,
+    cfg: CFARConfig | None = None,
+    n_clutter: int = 14,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+):
+    """Full sharded processing step: echo -> RDM -> CFAR flags over a 2-D mesh.
+
+    * ``dp`` shards the beam axis (pure data parallelism);
+    * ``sp`` shards slow time during pulse compression, then an
+      ``all_to_all`` re-shards to range for the Doppler FFT and CFAR
+      (halo-exchange collectives for the reference windows).
+
+    Input ``echo``: (n_beams, n_pulses, n_points) complex, n_beams divisible
+    by mesh["dp"], n_pulses and n_points divisible by mesh["sp"].
+    Returns (rdm, flags, vflags) with the same layout as the unsharded path.
+    """
+    cfg = cfg or profile.cfar
+    pulses = reference_pulses(profile)
+    n_sp = mesh.shape[sp_axis]
+
+    def step(echo_local: jnp.ndarray):
+        # echo_local: (beams_local, prt_local, n_points)
+        n_points = echo_local.shape[-1]
+        pc = segmented_pulse_compression(echo_local, profile, pulses)
+        # re-shard: slow-time-sharded -> range-sharded
+        if n_sp > 1:
+            pc = lax.all_to_all(pc, sp_axis, split_axis=2, concat_axis=1, tiled=True)
+        n_pulses = pc.shape[-2]
+        window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+        rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        flags, vflags = sharded_cascaded_cfar2d(
+            rdm, cfg, n_clutter, sp_axis, n_points
+        )
+        return rdm, flags, vflags
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=P(dp_axis, sp_axis, None),
+        out_specs=(
+            P(dp_axis, None, sp_axis),
+            P(dp_axis, None, sp_axis),
+            P(dp_axis, None, sp_axis),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(echo: jnp.ndarray):
+        return mapped(echo)
+
+    return run
+
+
+def shard_batch(mesh: Mesh, axis: str = "dp"):
+    """NamedSharding placing the leading batch axis on ``axis``."""
+    return NamedSharding(mesh, P(axis))

@@ -1,0 +1,98 @@
+"""Multi-device tests on the virtual CPU mesh: sharded vs unsharded parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
+from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d, cfar1d_ref_level
+from radar_signal_process_tpu.parallel import make_mesh
+from radar_signal_process_tpu.parallel.sharding import (
+    make_sharded_pipeline,
+    sharded_cascaded_cfar2d,
+    sharded_cfar1d_ref_level,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    return make_mesh(("dp", "sp"), shape=(2, 4))
+
+
+def test_sharded_ref_level_matches_unsharded(rng, mesh):
+    data = np.abs(rng.standard_normal((32, 128))) + 0.1
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    want = cfar1d_ref_level(jnp.asarray(data), 5, 7, 0, axis=-1)
+
+    def local(x):
+        return sharded_cfar1d_ref_level(x, cfg, "sp", 128)
+
+    got = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(None, "sp"), out_specs=P(None, "sp")
+        )
+    )(jnp.asarray(data))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_sharded_cascade_matches_unsharded(rng, mesh):
+    nv, nr = 96, 160
+    rdm = np.abs(rng.standard_normal((nv, nr))) + 0.5
+    for _ in range(8):
+        rdm[rng.integers(8, nv - 8), rng.integers(0, nr)] += 40.0
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    n_clutter = 6
+
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, n_clutter)
+
+    def local(x):
+        return sharded_cascaded_cfar2d(x, cfg, n_clutter, "sp", nr)
+
+    got_f, got_v = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(None, "sp"),
+            out_specs=(P(None, "sp"), P(None, "sp")),
+        )
+    )(jnp.asarray(rdm))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_sharded_pipeline_matches_unsharded(rng, mesh):
+    """Full step: PRT-sharded PC -> all_to_all -> range-sharded MTD+CFAR."""
+    prof = G2_PROFILE
+    n_beams, n_prt = 2, 64
+    n_pts = prof.point_prt  # 3404 = 4 * 851
+    echo = (
+        rng.standard_normal((n_beams, n_prt, n_pts))
+        + 1j * rng.standard_normal((n_beams, n_prt, n_pts))
+    )
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    n_clutter = 6
+
+    run = make_sharded_pipeline(prof, mesh, cfg, n_clutter)
+    x = jax.device_put(
+        jnp.asarray(echo), NamedSharding(mesh, P("dp", "sp", None))
+    )
+    rdm_s, flags_s, vflags_s = run(x)
+
+    rdm_u = mtd_produce(jnp.asarray(echo), prof)
+    flags_u, vflags_u = cascaded_cfar2d(rdm_u, cfg, n_clutter)
+
+    np.testing.assert_allclose(np.asarray(rdm_s), np.asarray(rdm_u), rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(vflags_s), np.asarray(vflags_u))
+    np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
+
+
+def test_dp_batch_sharding_runs(rng, mesh):
+    prof = G2_PROFILE
+    echo = rng.standard_normal((4, 32, prof.point_prt)).astype(np.complex128)
+    x = jax.device_put(jnp.asarray(echo), NamedSharding(mesh, P("dp", None, None)))
+    rdm = jax.jit(lambda e: mtd_produce(e, prof))(x)
+    assert rdm.shape == echo.shape
