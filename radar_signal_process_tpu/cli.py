@@ -1,0 +1,334 @@
+"""Command-line drivers (reference layer L4 as thin CLIs, SURVEY.md §7.1).
+
+Replaces the reference's edit-then-run driver scripts with stage commands:
+
+* ``simulate`` — synthesize a G2 capture (raw ``.bin`` packets) containing a
+  moving target in clutter (reference S1-S3 as a tool);
+* ``ingest``   — parse ``.bin`` captures (native C++ or NumPy), apply DBF,
+  persist per-frame ``.npz`` manifests (stage 1, ``bin_to_mat_xzr.m``);
+* ``mtd``      — windowed MTD over frame pairs (stage 2,
+  ``main_produce_dataset_win_xzr_v2.m``);
+* ``detect``   — cascaded CFAR + detection lists (stage 3, ``main_cfar.m``);
+* ``e2e``      — fused ingest->MTD->CFAR->measure in memory, no file bus.
+
+Every stage is frame-keyed and idempotent: existing outputs are skipped,
+preserving the reference's restart-anywhere property with config embedded in
+each artifact (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from radar_signal_process_tpu.config import PROFILES, G2_PROFILE
+from radar_signal_process_tpu.utils import (
+    Counters,
+    StageTimers,
+    frame_exists,
+    get_logger,
+    load_frame,
+    save_frame,
+)
+
+log = get_logger("radar_tpu.cli")
+
+
+def cmd_simulate(args) -> int:
+    from radar_signal_process_tpu.sim import (
+        add_clutter,
+        apply_scr,
+        synthesize_target_echo,
+        synthetic_clutter,
+    )
+    from radar_signal_process_tpu.sim.packets_synth import write_g2_capture
+
+    profile = PROFILES[args.profile]
+    n = profile.prt_per_frame
+    rng = np.random.default_rng(args.seed)
+    frames = np.zeros(
+        (args.frames, n, profile.point_prt, profile.n_channels), dtype=np.complex128
+    )
+    target = synthesize_target_echo(
+        profile, args.velocity, args.range, n_pulses=args.frames * n
+    )
+    clutter = synthetic_clutter(profile, n_pulses=args.frames * n, seed=args.seed)
+    echo = add_clutter(apply_scr(target, clutter, args.scr, profile), clutter)
+    # quantize to int16-scale DDC samples; same echo into every channel with
+    # a per-channel phase ramp so DBF has structure to work with
+    scale = 3000.0 / (np.abs(echo).max() + 1e-30)
+    phases = np.exp(1j * 2 * np.pi * np.arange(profile.n_channels) / 64.0)
+    for f in range(args.frames):
+        block = echo[f * n : (f + 1) * n] * scale
+        frames[f] = np.round(block[..., None].real * phases.real
+                             - block[..., None].imag * phases.imag) + 1j * np.round(
+            block[..., None].real * phases.imag + block[..., None].imag * phases.real
+        )
+    write_g2_capture(args.output, frames, profile, data_type=1,
+                     file_sizes=[args.file_bytes] * 1000 if args.file_bytes else None)
+    log.info("wrote %d synthetic frames to %s", args.frames, args.output)
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from radar_signal_process_tpu.ingest import G2FrameReader, native_available
+    from radar_signal_process_tpu.ingest.native_loader import NativeG2FrameReader
+
+    profile = PROFILES[args.profile]
+    use_native = args.native and native_available()
+    reader = (NativeG2FrameReader if use_native else G2FrameReader)(args.input, profile)
+    log.info("ingest using %s parser", "native C++" if use_native else "NumPy")
+
+    if args.dbf_coeffs:
+        from radar_signal_process_tpu.ops.dbf import load_dbf_coeffs
+
+        coeffs = load_dbf_coeffs(args.dbf_coeffs, profile.n_channels)
+    else:
+        coeffs = None
+
+    counters = Counters()
+    frame_idx, retries = 0, 0
+    while frame_idx < args.frames:
+        if frame_exists(args.output, frame_idx) and not args.force:
+            frame_idx += 1
+            continue
+        res = reader.read_frame(frame_idx)
+        if res.frame_completed:
+            iq = res.iq
+            if coeffs is not None:
+                import jax.numpy as jnp
+
+                from radar_signal_process_tpu.ops.dbf import apply_dbf
+
+                iq = np.asarray(apply_dbf(jnp.asarray(iq), coeffs.astype(np.complex64)))
+            save_frame(
+                args.output, frame_idx,
+                {"iq": iq, "servo_angle": res.servo_angle},
+                profile, meta={"dbf": coeffs is not None},
+            )
+            counters.add("frames")
+            counters.add("prts", profile.prt_per_frame)
+            frame_idx += 1
+            retries = 0
+        else:
+            if res.eos:
+                log.info("end of stream at frame %d", frame_idx)
+                break
+            retries += 1
+            counters.add("retries")
+            if retries > args.max_retries:  # bin_to_mat_xzr.m:81-84
+                log.error("frame %d failed %d retries; aborting", frame_idx, retries)
+                return 1
+    log.info("ingest done: %s", counters)
+    return 0
+
+
+def cmd_mtd(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
+
+    profile = PROFILES[args.profile]
+    process = make_frame_processor(profile, win_size=args.win_size)
+    timers = StageTimers()
+    done = 0
+    for frame_idx in range(args.frames):
+        if frame_exists(args.output, frame_idx) and not args.force:
+            done += 1
+            continue
+        try:
+            now, _, _ = load_frame(args.input, frame_idx)
+            nxt, _, _ = load_frame(args.input, frame_idx + 1)
+        except FileNotFoundError:
+            log.warning("frames %d/%d unavailable; stopping", frame_idx, frame_idx + 1)
+            break
+        # iq arrays are (prt, samples, beams-or-channels) -> (beams, prt, samples)
+        a = np.moveaxis(now["iq"], -1, 0)
+        b = np.moveaxis(nxt["iq"], -1, 0)
+        with timers.stage("mtd") as h:
+            rdms = process(jnp.asarray(a, jnp.complex64), jnp.asarray(b, jnp.complex64))
+            h["fence"] = rdms
+        save_frame(
+            args.output, frame_idx,
+            {"rdm": np.asarray(rdms), "servo_angle": now["servo_angle"]},
+            profile, meta={"win_size": args.win_size},
+        )
+        done += 1
+    log.info("mtd done (%d frames)\n%s", done, timers.report())
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.detect import clutter_cells, make_detector
+
+    profile = PROFILES[args.profile]
+    detector = None
+    timers = StageTimers()
+    done = 0
+    for frame_idx in range(args.frames):
+        if frame_exists(args.output, frame_idx) and not args.force:
+            done += 1
+            continue
+        try:
+            arrays, _, meta = load_frame(args.input, frame_idx)
+        except FileNotFoundError:
+            break
+        rdms = jnp.asarray(arrays["rdm"])
+        if detector is None:
+            import dataclasses as dc
+
+            cfg = dc.replace(profile.cfar, threshold=args.threshold)
+            nc = clutter_cells(profile, rdms.shape[-2], args.clutter_v)
+            detector = make_detector(profile, n_clutter=nc, max_detections=args.max_detections)
+        with timers.stage("cfar") as h:
+            flags, vflags, dets = detector(rdms)
+            h["fence"] = flags
+        save_frame(
+            args.output, frame_idx,
+            {
+                "flags": np.asarray(flags),
+                "vflags": np.asarray(vflags),
+                "det_v": np.asarray(dets.v_idx),
+                "det_r": np.asarray(dets.r_idx),
+                "det_amp": np.asarray(dets.amplitude),
+                "det_valid": np.asarray(dets.valid),
+            },
+            profile, meta={"threshold": args.threshold},
+        )
+        done += 1
+    log.info("detect done (%d frames)\n%s", done, timers.report())
+    return 0
+
+
+def cmd_e2e(args) -> int:
+    """Fused in-memory chain: .bin capture -> detections, no file bus."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.ingest import G2FrameReader, native_available
+    from radar_signal_process_tpu.ingest.native_loader import NativeG2FrameReader
+    from radar_signal_process_tpu.models.detect import clutter_cells, make_detector
+    from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
+
+    profile = PROFILES[args.profile]
+    reader_cls = NativeG2FrameReader if (args.native and native_available()) else G2FrameReader
+    reader = reader_cls(args.input, profile)
+    process = make_frame_processor(profile, win_size=args.win_size)
+    detector = None
+    timers = StageTimers()
+
+    prev = None
+    results = []
+    for frame_idx in range(args.frames + 1):
+        with timers.stage("read"):
+            res = reader.read_frame(frame_idx)
+        if not res.frame_completed:
+            break
+        cur = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
+        if prev is not None:
+            with timers.stage("mtd+cfar") as h:
+                rdms = process(
+                    jnp.asarray(prev, jnp.complex64), jnp.asarray(cur, jnp.complex64)
+                )
+                if detector is None:
+                    nc = clutter_cells(profile, rdms.shape[-2], args.clutter_v)
+                    detector = make_detector(
+                        profile, n_clutter=nc, max_detections=args.max_detections
+                    )
+                flags, _, dets = detector(rdms[args.beam, args.win_slice])
+                h["fence"] = flags
+            valid = np.asarray(dets.valid)
+            results.append(
+                {
+                    "frame": frame_idx - 1,
+                    "detections": [
+                        [int(v), int(r), float(a)]
+                        for v, r, a in zip(
+                            np.asarray(dets.v_idx)[valid],
+                            np.asarray(dets.r_idx)[valid],
+                            np.asarray(dets.amplitude)[valid],
+                        )
+                    ],
+                }
+            )
+        prev = cur
+    print(json.dumps({"frames": results}, indent=None))
+    log.info("e2e timing\n%s", timers.report())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="radar_signal_process_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sim = sub.add_parser("simulate", help="write a synthetic G2 .bin capture")
+    sim.add_argument("--output", required=True)
+    sim.add_argument("--profile", default="G2", choices=PROFILES)
+    sim.add_argument("--frames", type=int, default=3)
+    sim.add_argument("--velocity", type=float, default=-5.7)
+    sim.add_argument("--range", type=float, default=320.0)
+    sim.add_argument("--scr", type=float, default=10.0)
+    sim.add_argument("--seed", type=int, default=0)
+    sim.add_argument("--file-bytes", type=int, default=0,
+                     help="split the capture into files of this size")
+    sim.set_defaults(fn=cmd_simulate)
+
+    ing = sub.add_parser("ingest", help=".bin capture -> per-frame npz")
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--output", required=True)
+    ing.add_argument("--profile", default="G2", choices=PROFILES)
+    ing.add_argument("--frames", type=int, default=10)
+    ing.add_argument("--dbf-coeffs", default=None)
+    ing.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    ing.add_argument("--max-retries", type=int, default=1000)
+    ing.add_argument("--force", action="store_true")
+    ing.set_defaults(fn=cmd_ingest)
+
+    mtd = sub.add_parser("mtd", help="frame npz -> windowed RDM npz")
+    mtd.add_argument("--input", required=True)
+    mtd.add_argument("--output", required=True)
+    mtd.add_argument("--profile", default="G2", choices=PROFILES)
+    mtd.add_argument("--frames", type=int, default=10)
+    mtd.add_argument("--win-size", type=int, default=4)
+    mtd.add_argument("--force", action="store_true")
+    mtd.set_defaults(fn=cmd_mtd)
+
+    det = sub.add_parser("detect", help="RDM npz -> CFAR flags + detections")
+    det.add_argument("--input", required=True)
+    det.add_argument("--output", required=True)
+    det.add_argument("--profile", default="G2", choices=PROFILES)
+    det.add_argument("--frames", type=int, default=10)
+    det.add_argument("--threshold", type=float, default=5.0)
+    det.add_argument("--clutter-v", type=float, default=3.0)
+    det.add_argument("--max-detections", type=int, default=64)
+    det.add_argument("--force", action="store_true")
+    det.set_defaults(fn=cmd_detect)
+
+    e2e = sub.add_parser("e2e", help=".bin capture -> detection JSON, in memory")
+    e2e.add_argument("--input", required=True)
+    e2e.add_argument("--profile", default="G2", choices=PROFILES)
+    e2e.add_argument("--frames", type=int, default=3)
+    e2e.add_argument("--win-size", type=int, default=4)
+    e2e.add_argument("--beam", type=int, default=0)
+    e2e.add_argument("--win-slice", type=int, default=0)
+    e2e.add_argument("--clutter-v", type=float, default=3.0)
+    e2e.add_argument("--max-detections", type=int, default=16)
+    e2e.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    e2e.set_defaults(fn=cmd_e2e)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

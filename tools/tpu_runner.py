@@ -22,14 +22,47 @@ import time
 import traceback
 
 
+def _claim_devices():
+    """Initialize the axon backend, retrying while the TPU grant is held.
+
+    The sitecustomize registration is swallowed-on-failure; when it failed
+    (previous grant still pending release) we re-register explicitly and
+    retry until the chip is ours.
+    """
+    import uuid
+
+    import jax
+
+    for attempt in range(120):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            print(f"tpu_runner: devices attempt {attempt}: {str(e)[:100]}", flush=True)
+        try:
+            from axon.register import register
+
+            gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+            register(
+                None,
+                f"{gen}:1x1x1",
+                so_path="/opt/axon/libaxon_pjrt.so",
+                session_id=str(uuid.uuid4()),
+                remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
+            )
+        except Exception as e:
+            print(f"tpu_runner: register retry: {str(e)[:100]}", flush=True)
+        time.sleep(15)
+    raise RuntimeError("could not claim TPU devices")
+
+
 def main(job_dir: str) -> None:
     os.makedirs(job_dir, exist_ok=True)
-    import jax  # claim the grant now
+    devices = _claim_devices()
 
-    print("tpu_runner: devices =", jax.devices(), flush=True)
+    print("tpu_runner: devices =", devices, flush=True)
     ready = os.path.join(job_dir, ".ready")
     with open(ready, "w") as f:
-        f.write(repr(jax.devices()))
+        f.write(repr(devices))
 
     while True:
         jobs = sorted(
@@ -43,25 +76,39 @@ def main(job_dir: str) -> None:
             out_path = os.path.join(job_dir, job[:-3] + ".out")
             tmp_path = out_path + ".tmp"
             print(f"tpu_runner: running {job}", flush=True)
-            buf = io.StringIO()
             t0 = time.time()
             old_stdout, old_stderr = sys.stdout, sys.stderr
-            try:
-                sys.stdout = sys.stderr = buf
-                with open(path) as f:
-                    code = f.read()
-                exec(compile(code, path, "exec"), {"__name__": "__tpu_job__"})
-                status = "OK"
-            except BaseException:
-                traceback.print_exc(file=buf)
-                status = "ERROR"
-            finally:
-                sys.stdout, sys.stderr = old_stdout, old_stderr
+
+            class _Tee(io.TextIOBase):
+                """Line-buffered tee into the live .tmp file."""
+
+                def __init__(self, fh):
+                    self.fh = fh
+
+                def write(self, s):
+                    self.fh.write(s)
+                    self.fh.flush()
+                    return len(s)
+
+            with open(tmp_path, "w") as live:
+                tee = _Tee(live)
+                try:
+                    sys.stdout = sys.stderr = tee
+                    with open(path) as f:
+                        code = f.read()
+                    exec(compile(code, path, "exec"), {"__name__": "__tpu_job__"})
+                    status = "OK"
+                except BaseException:
+                    traceback.print_exc(file=tee)
+                    status = "ERROR"
+                finally:
+                    sys.stdout, sys.stderr = old_stdout, old_stderr
             dt = time.time() - t0
-            with open(tmp_path, "w") as f:
+            with open(out_path, "w") as f:
                 f.write(f"# status: {status} elapsed: {dt:.1f}s\n")
-                f.write(buf.getvalue())
-            os.replace(tmp_path, out_path)
+                with open(tmp_path) as tf:
+                    f.write(tf.read())
+            os.remove(tmp_path)
             print(f"tpu_runner: {job} -> {status} ({dt:.1f}s)", flush=True)
         time.sleep(0.5)
 
