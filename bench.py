@@ -1,0 +1,223 @@
+"""Benchmark: G2 range-Doppler frame processing throughput on one chip.
+
+Measures the flagship workload — one full G2 frame: 13 beams x 4 CPI slices
+of segmented pulse compression (FIR + 2 matched-filter fast-convs per slice),
+Kaiser-windowed Doppler FFT, zero-velocity notch, and the cascaded 2-D CFAR —
+and prints ONE JSON line:
+
+    {"metric": "rdm_frames_per_s_per_chip", "value": ..., "unit": "frames/s",
+     "vs_baseline": ...}
+
+``vs_baseline`` compares against the single-thread NumPy loop-style oracle
+(the MATLAB-reference stand-in per BASELINE.md: the reference publishes no
+numbers, so the oracle path on identical workload geometry is the baseline).
+The oracle is timed on 1/52 of a frame (one beam-slice) and scaled — it is
+per-PRT/per-bin loops, exactly the reference's structure.
+
+TPU session notes: only compiled programs execute and device->host transfers
+may hang, so timing uses ``block_until_ready`` only and never fetches
+values; inputs upload once.  When the TPU grant is held by another process,
+registration retries briefly, then falls back to CPU (reported in the JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _claim_backend(wait_s: float) -> str:
+    """Initialize jax; retry axon registration while the TPU grant frees."""
+    import jax
+
+    deadline = time.time() + wait_s
+    while True:
+        try:
+            dev = jax.devices()[0]
+            return dev.platform
+        except RuntimeError:
+            pass
+        if time.time() > deadline:
+            jax.config.update("jax_platforms", "cpu")
+            return "cpu"
+        try:
+            import uuid
+
+            from axon.register import register
+
+            gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+            register(
+                None,
+                f"{gen}:1x1x1",
+                so_path="/opt/axon/libaxon_pjrt.so",
+                session_id=str(uuid.uuid4()),
+                remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1",
+            )
+        except Exception:
+            time.sleep(10)
+
+
+def build_chain():
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
+    from radar_signal_process_tpu.models.detect import detect_rdm
+    from radar_signal_process_tpu.models.mtd_pipeline import (
+        mtd_produce,
+        slice_cpi_window,
+    )
+
+    prof = G2_PROFILE
+    cfg = CFARConfig(threshold=5.0)
+
+    @jax.jit
+    def chain(echo_window):
+        slices = slice_cpi_window(echo_window, 4)        # (13, 4, 332, 3404)
+        rdms = mtd_produce(slices, prof)
+        flags, _ = detect_rdm(rdms, prof, n_clutter=14, cfg=cfg)
+        # reduce to a tiny f32 so nothing large leaves the device
+        return jnp.stack(
+            [jnp.sum(rdms).astype(jnp.float32), jnp.sum(flags).astype(jnp.float32)]
+        )
+
+    return prof, chain
+
+
+def time_chain(chain, x, repeat: int) -> float:
+    import jax
+
+    jax.block_until_ready(chain(x))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(repeat):
+        out = chain(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeat
+
+
+def timing_channel_works() -> bool:
+    """Detect broken completion reporting (seen on the axon relay backend).
+
+    Runs a chained-matmul burn whose true device time must scale with the
+    iteration count; when ``block_until_ready`` returns in essentially zero
+    time for 512 chained 4096^3 matmuls, the backend is not reporting
+    completion and wall-clock timing is meaningless.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def burn(a, n):
+        def body(_, acc):
+            return jnp.tanh(acc @ acc * 1e-6)
+
+        return jax.lax.fori_loop(0, n, body, a)
+
+    a = jnp.ones((2048, 2048), jnp.float32)
+    jax.block_until_ready(burn(a, 1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(burn(a, 256))
+    elapsed = time.perf_counter() - t0
+    # 256 chained 2048^3 matmuls = 4.4 TFLOP; even at 400 TFLOP/s that is
+    # > 10 ms.  Sub-5ms means completion is not being awaited.
+    return elapsed > 5e-3
+
+
+def oracle_beam_slice_seconds(prof, echo_slice: np.ndarray) -> float:
+    """Loop-style oracle MTD+CFAR on one (332, 3404) beam-slice."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from oracle.cfar import execute_cfar
+    from oracle.dsp import (
+        doppler_process,
+        segmented_pulse_compression,
+        zero_velocity_notch,
+    )
+
+    from radar_signal_process_tpu.config import NARROW_PULSE_FIR_TAPS
+    from radar_signal_process_tpu.ops.waveforms import reference_pulses
+    from radar_signal_process_tpu.ops.windows import make_window
+
+    pulses = reference_pulses(prof)
+    taps = np.asarray(NARROW_PULSE_FIR_TAPS, dtype=np.float64)
+    window = make_window("kaiser", echo_slice.shape[0], 8.0)
+    t0 = time.perf_counter()
+    pc = segmented_pulse_compression(echo_slice, prof.segment_points, pulses, taps)
+    rdm = doppler_process(pc, window)
+    rdm = zero_velocity_notch(rdm, 150)
+    for start, stop in prof.cfar_segments:
+        execute_cfar(rdm[:, start:stop], 5, 7, 5.0, 0, 5, 7, 5.0, 0, 14, True)
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=10)
+    ap.add_argument("--wait-tpu-s", type=float, default=600.0)
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--oracle-seconds", type=float, default=None,
+                    help="use a precomputed oracle beam-slice time")
+    args = ap.parse_args()
+
+    platform = _claim_backend(args.wait_tpu_s)
+    import jax
+    import jax.numpy as jnp
+
+    timing_ok = timing_channel_works()
+    if not timing_ok and platform != "cpu":
+        # the accelerator backend is not reporting completion; fall back to
+        # the CPU backend so the reported number is real (and flag it)
+        jax.config.update("jax_platforms", "cpu")
+        platform = f"cpu (fallback: {platform} timing channel broken)"
+
+    prof, chain = build_chain()
+    rng = np.random.default_rng(0)
+    shape = (prof.n_beams, 2 * prof.prt_per_frame, prof.point_prt)
+    host = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+    x = jnp.asarray(host)
+
+    frame_s = time_chain(chain, x, args.repeat)
+    frames_per_s = 1.0 / frame_s
+
+    # pulse-compression throughput: complex samples processed per frame
+    samples_per_frame = prof.n_beams * 4 * prof.prt_per_frame * prof.point_prt
+    msamp_per_s = samples_per_frame * frames_per_s / 1e6
+
+    if args.oracle_seconds is not None:
+        oracle_slice_s = args.oracle_seconds
+    elif not args.skip_oracle:
+        oracle_slice_s = oracle_beam_slice_seconds(
+            prof, host[0, : prof.prt_per_frame, :].astype(np.complex128)
+        )
+    else:
+        oracle_slice_s = None
+
+    result = {
+        "metric": "rdm_frames_per_s_per_chip",
+        "value": round(frames_per_s, 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "platform": platform,
+        "timing_channel_ok": timing_ok,
+        "frame_ms": round(frame_s * 1e3, 2),
+        "pc_msamples_per_s": round(msamp_per_s, 1),
+    }
+    if oracle_slice_s is not None:
+        oracle_frame_s = oracle_slice_s * prof.n_beams * 4
+        result["oracle_frame_s"] = round(oracle_frame_s, 2)
+        result["vs_baseline"] = round(oracle_frame_s / frame_s, 1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

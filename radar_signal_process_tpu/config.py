@@ -207,7 +207,10 @@ G1_PROFILE = RadarProfile(
     bytes_head=24,
     bytes_realtime=4,                 # angle-code bytes beyond the 24 B header
     bytes_tail=8,
-    mtd=MTDConfig(window="kaiser", window_beta=8.0, notch_divisor=20, fftshift=True),
+    # MTD-stage notch is the narrow /150 variant (MatlabProcess_xuzerui/
+    # fun_0v_pressing.m); the wide /20 variant (CFAR_WangCai/fun_0v_pressing.m)
+    # is the CFAR-stage re-notch (models.detect renotch_divisor).
+    mtd=MTDConfig(window="kaiser", window_beta=8.0, notch_divisor=150, fftshift=True),
     cfar=CFARConfig(threshold=5.0),
     # segmentation of the 868-column range-concatenated RDM (main_cfar.m:143-145)
     cfar_segments=((0, 82), (82, 318), (318, 868)),

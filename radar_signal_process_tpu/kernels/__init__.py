@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the fused hot paths."""
+
+from radar_signal_process_tpu.kernels.cfar_pallas import (  # noqa: F401
+    cascaded_cfar2d_pallas,
+)

@@ -1,0 +1,46 @@
+"""Pallas kernel tests (interpreter mode on CPU): exact parity with ops.cfar."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_signal_process_tpu.config import CFARConfig
+from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
+from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
+
+
+def _rdm(rng, nv=96, nr=160, hits=8):
+    rdm = np.abs(rng.standard_normal((nv, nr))).astype(np.float32) + 0.5
+    for _ in range(hits):
+        rdm[rng.integers(8, nv - 8), rng.integers(0, nr)] += 40.0
+    return rdm
+
+
+@pytest.mark.parametrize("n_clutter", [6, 11])
+def test_pallas_cfar_matches_reference_op(rng, n_clutter):
+    rdm = _rdm(rng)
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, n_clutter)
+    got_f, got_v = cascaded_cfar2d_pallas(
+        jnp.asarray(rdm), cfg, n_clutter, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_pallas_cfar_batched(rng):
+    rdms = np.stack([_rdm(rng) for _ in range(6)]).reshape(2, 3, 96, 160)
+    cfg = CFARConfig(threshold=5.0)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdms), cfg, 6)
+    got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdms), cfg, 6, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_pallas_cfar_no_range_pass(rng):
+    rdm = _rdm(rng)
+    cfg = CFARConfig(threshold=5.0, range_detect=False)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, 6)
+    got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdm), cfg, 6, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
