@@ -1,0 +1,10 @@
+"""Visualization & analysis (reference V1-V3, SURVEY.md §2.5)."""
+
+from radar_signal_process_tpu.viz.plots import (  # noqa: F401
+    plot_rdm_3d,
+    plot_rdm_image,
+    plot_mtd_dashboard,
+    plot_pc_magnitude,
+    plot_doppler_spectrum,
+    rdm_to_db,
+)
