@@ -162,6 +162,8 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=10)
     ap.add_argument("--wait-tpu-s", type=float, default=600.0)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--stages", action="store_true",
+                    help="also report per-stage PC/MTD/CFAR times")
     ap.add_argument("--oracle-seconds", type=float, default=None,
                     help="use a precomputed oracle beam-slice time")
     args = ap.parse_args()
@@ -188,6 +190,40 @@ def main() -> int:
     frame_s = time_chain(chain, x, args.repeat)
     frames_per_s = 1.0 / frame_s
 
+    # per-stage breakdown mirroring the reference's timer placement
+    # (DMX_SignalProcessing_main_xzr.m:337-496: PC / MTD / CFAR)
+    stage_ms = {}
+    if args.stages:
+        from radar_signal_process_tpu.config import CFARConfig
+        from radar_signal_process_tpu.models.detect import detect_rdm
+        from radar_signal_process_tpu.models.mtd_pipeline import (
+            mtd_produce,
+            slice_cpi_window,
+        )
+        from radar_signal_process_tpu.ops.mtd import doppler_process
+        from radar_signal_process_tpu.ops.pulse_compression import (
+            segmented_pulse_compression,
+        )
+        from radar_signal_process_tpu.ops.waveforms import reference_pulses
+        from radar_signal_process_tpu.ops.windows import make_window
+
+        pulses = reference_pulses(prof)
+        window = make_window("kaiser", prof.prt_per_frame, 8.0)
+        cfg = CFARConfig(threshold=5.0)
+        slices = jax.jit(lambda e: slice_cpi_window(e, 4))(x)
+        pc_fn = jax.jit(
+            lambda s: segmented_pulse_compression(s, prof, pulses)
+        )
+        pc = pc_fn(slices)
+        mtd_fn = jax.jit(lambda p: doppler_process(p, window))
+        rdm = mtd_fn(pc)
+        cfar_fn = jax.jit(
+            lambda r: detect_rdm(r, prof, 14, cfg=cfg)[0].astype(jnp.float32).sum()
+        )
+        stage_ms["pc_ms"] = round(time_chain(pc_fn, slices, args.repeat) * 1e3, 2)
+        stage_ms["mtd_ms"] = round(time_chain(mtd_fn, pc, args.repeat) * 1e3, 2)
+        stage_ms["cfar_ms"] = round(time_chain(cfar_fn, rdm, args.repeat) * 1e3, 2)
+
     # pulse-compression throughput: complex samples processed per frame
     samples_per_frame = prof.n_beams * 4 * prof.prt_per_frame * prof.point_prt
     msamp_per_s = samples_per_frame * frames_per_s / 1e6
@@ -210,6 +246,7 @@ def main() -> int:
         "timing_channel_ok": timing_ok,
         "frame_ms": round(frame_s * 1e3, 2),
         "pc_msamples_per_s": round(msamp_per_s, 1),
+        **stage_ms,
     }
     if oracle_slice_s is not None:
         oracle_frame_s = oracle_slice_s * prof.n_beams * 4

@@ -32,14 +32,16 @@ def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
 
 
 def _ref_level(x, r, g, method, axis, valid_lo, valid_hi):
-    """GO/SO reference level along ``axis`` with index-validity fallback."""
-    left_sum = jnp.zeros_like(x)
-    right_sum = jnp.zeros_like(x)
-    for k in range(g + 1, g + r + 1):
-        left_sum = left_sum + _roll(x, k, axis)
-        right_sum = right_sum + _roll(x, -k, axis)
-    left_mean = left_sum * (1.0 / r)
-    right_mean = right_sum * (1.0 / r)
+    """GO/SO reference level along ``axis`` with index-validity fallback.
+
+    One shared r-term running sum feeds both windows (same summation order
+    as ops.cfar so all implementations stay bit-identical).
+    """
+    acc = x
+    for k in range(1, r):
+        acc = acc + _roll(x, k, axis)
+    left_mean = _roll(acc, g + 1, axis) * (1.0 / r)
+    right_mean = _roll(acc, -(g + r), axis) * (1.0 / r)
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     left_used = jnp.where(idx >= valid_lo, left_mean, right_mean)
     right_used = jnp.where(idx <= valid_hi, right_mean, left_mean)

@@ -31,13 +31,34 @@ def detect_rdm(
     n_clutter: int,
     cfg: CFARConfig | None = None,
     renotch_divisor: int | None = 20,
+    use_pallas: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """RDM (..., n_v, n_r) -> (cascade flags, velocity-only flags)."""
+    """RDM (..., n_v, n_r) -> (cascade flags, velocity-only flags).
+
+    ``use_pallas`` selects the fused whole-RDM-in-VMEM Pallas kernel
+    (default: on TPU backends); the XLA roll-based op otherwise.  Both are
+    bit-identical.
+    """
     cfg = cfg or profile.cfar
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if renotch_divisor:
         rdm = zero_velocity_notch(rdm, divisor=renotch_divisor)
     segments = profile.cfar_segments or ((0, rdm.shape[-1]),)
-    return segmented_cfar(rdm, segments, cfg, n_clutter)
+    if not use_pallas:
+        return segmented_cfar(rdm, segments, cfg, n_clutter)
+
+    from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
+
+    flag_parts, vflag_parts = [], []
+    for start, stop in segments:
+        f, v = cascaded_cfar2d_pallas(rdm[..., start:stop], cfg, n_clutter)
+        flag_parts.append(f)
+        vflag_parts.append(v)
+    return (
+        jnp.concatenate(flag_parts, axis=-1),
+        jnp.concatenate(vflag_parts, axis=-1),
+    )
 
 
 def make_detector(

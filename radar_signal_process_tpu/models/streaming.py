@@ -1,0 +1,104 @@
+"""Streaming execution: overlapped host ingest + device compute.
+
+The reference moves data between stages through directories of ``.mat`` files
+(SURVEY.md §5.8).  Here the fused mode runs as a producer/consumer pipeline:
+a background thread parses ``.bin`` frames (native C++ ingest) and stages
+them to the device while the previous CPI window is being processed, so
+ingest latency hides behind compute.  Frame pairing for the doubled-CPI
+window (``main_produce_dataset_win_xzr_v2.m:75-103``) happens on device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_signal_process_tpu.config import RadarProfile
+from radar_signal_process_tpu.models.detect import clutter_cells, make_detector
+from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
+from radar_signal_process_tpu.utils.logging import Counters
+
+
+class StreamResult(NamedTuple):
+    frame_idx: int
+    rdms: jnp.ndarray        # (n_beams, win_size, n_prt, n_points)
+    flags: jnp.ndarray
+    detections: object       # DetectionList for the selected beam/slice
+
+
+class StreamingPipeline:
+    """Iterate detection results over a continuous capture.
+
+    ``reader`` is any object with ``read_frame(idx) -> FrameResult``
+    (``ingest.G2FrameReader`` or ``ingest.NativeG2FrameReader``).
+    """
+
+    def __init__(
+        self,
+        reader,
+        profile: RadarProfile,
+        win_size: int = 4,
+        prefetch: int = 2,
+        max_frames: int = 10_000,
+        clutter_v: float = 3.0,
+        max_detections: int = 64,
+        beam: int = 0,
+        win_slice: int = 0,
+    ):
+        self.reader = reader
+        self.profile = profile
+        self.win_size = win_size
+        self.prefetch = prefetch
+        self.max_frames = max_frames
+        self.beam = beam
+        self.win_slice = win_slice
+        self.counters = Counters()
+        self._process = make_frame_processor(profile, win_size)
+        self._detector = make_detector(
+            profile,
+            n_clutter=clutter_cells(profile, profile.prt_per_frame, clutter_v),
+            max_detections=max_detections,
+        )
+        self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=prefetch)
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- producer
+    def _produce(self) -> None:
+        try:
+            for idx in range(self.max_frames):
+                res = self.reader.read_frame(idx)
+                if not res.frame_completed:
+                    break
+                # (prt, samples, beams) -> (beams, prt, samples), staged to
+                # the device while the consumer computes
+                host = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
+                dev = jax.device_put(jnp.asarray(host, dtype=jnp.complex64))
+                self._queue.put((idx, dev))
+                self.counters.add("frames_ingested")
+                self.counters.add("prts_parsed", self.profile.prt_per_frame)
+        finally:
+            self._queue.put(None)
+
+    # ------------------------------------------------------------- consumer
+    def __iter__(self) -> Iterator[StreamResult]:
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+        prev = None
+        prev_idx = -1
+        while True:
+            item = self._queue.get()
+            if item is None:
+                break
+            idx, dev = item
+            if prev is not None and idx == prev_idx + 1:
+                rdms = self._process(prev, dev)
+                flags, _, dets = self._detector(rdms[self.beam, self.win_slice])
+                self.counters.add("windows_processed")
+                yield StreamResult(prev_idx, rdms, flags, dets)
+            prev, prev_idx = dev, idx
+        self._thread.join()

@@ -57,13 +57,14 @@ def cfar1d_ref_level(
     n = data.shape[-1]
     r, g = ref_cells, guard_cells
 
-    left_sum = jnp.zeros_like(data)
-    right_sum = jnp.zeros_like(data)
-    for k in range(g + 1, g + r + 1):
-        left_sum = left_sum + jnp.roll(data, k, axis=-1)
-        right_sum = right_sum + jnp.roll(data, -k, axis=-1)
-    left_mean = left_sum / r
-    right_mean = right_sum / r
+    # one shared r-term running sum feeds both windows:
+    # acc[y] = sum_{j=0..r-1} data[y-j]; left = acc shifted by g+1,
+    # right = acc shifted by -(g+r) — (r-1)+2 rolls instead of 2r.
+    acc = data
+    for k in range(1, r):
+        acc = acc + jnp.roll(data, k, axis=-1)
+    left_mean = jnp.roll(acc, g + 1, axis=-1) / r
+    right_mean = jnp.roll(acc, -(g + r), axis=-1) / r
 
     idx = np.arange(n)
     left_valid = jnp.asarray(idx - (g + r) >= 0)

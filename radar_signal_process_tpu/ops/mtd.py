@@ -24,6 +24,21 @@ import numpy as np
 from radar_signal_process_tpu.config import matlab_round
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(n: int, shift: bool, window_key) -> np.ndarray:
+    """Windowed (and optionally fftshift'ed) DFT matrix, host-precomputed."""
+    k = np.arange(n)
+    w_mat = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    if shift:
+        w_mat = np.fft.fftshift(w_mat, axes=0)
+    if window_key is not None:
+        w_mat = w_mat * np.asarray(window_key)[None, :]
+    return w_mat
+
+
 def doppler_process(
     pc: jnp.ndarray,
     window: np.ndarray,
@@ -31,16 +46,42 @@ def doppler_process(
     shift: bool = True,
     magnitude: bool = True,
     pulse_axis: int = -2,
+    use_matmul: bool | None = None,
 ) -> jnp.ndarray:
     """Slow-time FFT over the pulse axis, forming the range-Doppler map.
 
     ``pc``: (..., n_pulses, n_range) pulse-compressed data.  ``window`` is a
     length-``n_pulses`` slow-time taper (reference ``kaiser(N, 8)``).
     Returns the magnitude RDM (default) matching ``fun_Process_MTD``.
+
+    TPU note: the reference CPI lengths (332, 1536) are not powers of two,
+    which XLA lowers to Bluestein FFTs on TPU.  For moderate N the DFT as a
+    dense matmul — window and fftshift folded into a precomputed (N, N)
+    matrix, contraction on the MXU — is faster and numerically equivalent;
+    ``use_matmul=None`` auto-selects it on TPU backends when ``N <= 2048``
+    and no zero-padding is requested.
     """
+    import jax
+
     n_pulses = pc.shape[pulse_axis]
     if window.shape[0] != n_pulses:
         raise ValueError(f"window length {window.shape[0]} != n_pulses {n_pulses}")
+    if use_matmul is None:
+        use_matmul = (
+            jax.default_backend() == "tpu"
+            and (n_fft is None or n_fft == n_pulses)
+            and n_pulses <= 2048
+        )
+    if use_matmul and (n_fft is None or n_fft == n_pulses):
+        dft = jnp.asarray(
+            _dft_matrix(n_pulses, shift, tuple(np.asarray(window).tolist())),
+            dtype=(jnp.complex128 if pc.dtype == jnp.complex128 else jnp.complex64),
+        )
+        pc_m = jnp.moveaxis(pc, pulse_axis, -2)
+        spec = jnp.einsum("kn,...nr->...kr", dft, pc_m.astype(dft.dtype))
+        spec = jnp.moveaxis(spec, -2, pulse_axis)
+        return jnp.abs(spec) if magnitude else spec
+
     w = jnp.asarray(window, dtype=jnp.real(pc).dtype)
     w = jnp.expand_dims(w, axis=-1)  # broadcast over range axis
     spec = jnp.fft.fft(pc * w, n=n_fft or n_pulses, axis=pulse_axis)

@@ -67,13 +67,11 @@ def _rolled_ref_level(
 ) -> jnp.ndarray:
     """GO/SO reference level on an extended block with global-index validity."""
     r, g = ref_cells, guard_cells
-    left_sum = jnp.zeros_like(ext)
-    right_sum = jnp.zeros_like(ext)
-    for k in range(g + 1, g + r + 1):
-        left_sum = left_sum + jnp.roll(ext, k, axis=-1)
-        right_sum = right_sum + jnp.roll(ext, -k, axis=-1)
-    left_mean = left_sum / r
-    right_mean = right_sum / r
+    acc = ext
+    for k in range(1, r):
+        acc = acc + jnp.roll(ext, k, axis=-1)
+    left_mean = jnp.roll(acc, g + 1, axis=-1) / r
+    right_mean = jnp.roll(acc, -(g + r), axis=-1) / r
     left_valid = gidx - (g + r) >= 0
     right_valid = gidx + (g + r) <= n_global - 1
     left_used = jnp.where(left_valid, left_mean, right_mean)
@@ -165,13 +163,11 @@ def _rolled_ref_level_velocity(ext: jnp.ndarray, cfg: CFARConfig) -> jnp.ndarray
     """GO/SO reference level along the (unsharded) velocity axis (-2)."""
     r, g = cfg.ref_cells, cfg.guard_cells
     nv = ext.shape[-2]
-    left_sum = jnp.zeros_like(ext)
-    right_sum = jnp.zeros_like(ext)
-    for k in range(g + 1, g + r + 1):
-        left_sum = left_sum + jnp.roll(ext, k, axis=-2)
-        right_sum = right_sum + jnp.roll(ext, -k, axis=-2)
-    left_mean = left_sum / r
-    right_mean = right_sum / r
+    acc = ext
+    for k in range(1, r):
+        acc = acc + jnp.roll(ext, k, axis=-2)
+    left_mean = jnp.roll(acc, g + 1, axis=-2) / r
+    right_mean = jnp.roll(acc, -(g + r), axis=-2) / r
     idx = jnp.arange(nv).reshape((nv,) + (1,) * 1)
     left_valid = idx - (g + r) >= 0
     right_valid = idx + (g + r) <= nv - 1
