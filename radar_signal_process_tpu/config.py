@@ -64,6 +64,11 @@ class MTDConfig:
     notch_divisor: int = 150       # zero-velocity notch half-width = round(N/divisor)
     fft_length: int | None = None  # zero-padded slow-time FFT length (G0: 2048); None = CPI length
     fftshift: bool = True          # G1/G2 shift DC to center; G0 keeps FFT order
+    # dormant-in-reference capabilities, wired as options here:
+    mti_lag: int | None = None     # two-pulse canceller lag before the FFT
+    # (fun_Process_MTI.m: 30; None = off, as current reference drivers)
+    istc: bool = False             # iSTC gain compensation before PC
+    # (fun_iSTC.m; callers keep it commented out)
 
 
 @dataclasses.dataclass(frozen=True)

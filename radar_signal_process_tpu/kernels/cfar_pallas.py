@@ -50,56 +50,74 @@ def _ref_level(x, r, g, method, axis, valid_lo, valid_hi):
     return jnp.minimum(left_used, right_used)
 
 
-def _cfar_kernel(
-    used_ref,
-    flag_ref,
-    vflag_ref,
-    *,
+def _make_cfar_kernel(
     cfg: CFARConfig,
     cfg_r: CFARConfig,
+    col_offset: int = 0,
+    n_global: int | None = None,
 ):
-    x = used_ref[0]
-    nv, nr = x.shape
-    rg_v = cfg.ref_cells + cfg.guard_cells
-    rg_r = cfg_r.ref_cells + cfg_r.guard_cells
+    """Build the fused CFAR kernel with all parameters baked as Python ints/
+    floats in a closure.
 
-    # --- velocity-dim CFAR (axis 0) ---
-    ref_v = _ref_level(x, cfg.ref_cells, cfg.guard_cells, cfg.method, 0,
-                       rg_v, nv - 1 - rg_v)
-    vflag = x >= ref_v * cfg.threshold
-    vflag_ref[0] = vflag.astype(jnp.float32)
-
-    if not cfg.range_detect:
-        flag_ref[0] = vflag.astype(jnp.float32)
-        return
-
-    # --- dense range-dim CFAR (axis 1) ---
-    ref_r = _ref_level(x, cfg_r.ref_cells, cfg_r.guard_cells, cfg_r.method, 1,
-                       rg_r, nr - 1 - rg_r)
-    rflag = x >= ref_r * cfg_r.threshold
-
-    # --- cascade: strongest confirmed neighbor within +-E ---
+    NOTE (session-chip findings, kept for future rounds): masks must be kept
+    as float32 — ``pltpu.roll`` on bool operands crashes the Mosaic TPU
+    compiler; and this closure form with scalar constants is the variant
+    verified to compile on hardware (the equivalent kwargs-dataclass form
+    reproducibly failed the remote Mosaic compile — see tools/tpu jobs log).
+    """
+    rv, gv, mv = cfg.ref_cells, cfg.guard_cells, cfg.method
+    tv = float(cfg.threshold)
+    rr, gr, mr = cfg_r.ref_cells, cfg_r.guard_cells, cfg_r.method
+    tr = float(cfg_r.threshold)
     e = cfg.range_extend_cells
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    neg_inf = jnp.float32(-jnp.inf)
-    best_val = jnp.full(x.shape, neg_inf, dtype=x.dtype)
-    best_off = jnp.zeros(x.shape, dtype=jnp.int32)
-    for d in range(-e, e + 1):
-        # candidate at column c + d (circular roll; masked by bounds)
-        cand_flag = _roll(rflag, -d, 1)
-        cand_val = _roll(x, -d, 1)
-        inb = (col + d >= 0) & (col + d <= nr - 1)
-        val = jnp.where(cand_flag & inb, cand_val, neg_inf)
-        take = val > best_val  # strict: first max wins on ties (MATLAB max)
-        best_val = jnp.where(take, val, best_val)
-        best_off = jnp.where(take, jnp.int32(d), best_off)
-    winner = vflag & (best_val > neg_inf)
+    range_detect = cfg.range_detect
+    # range-axis chunking support: local column i corresponds to global
+    # column col_offset + i; validity bounds are global (n_global columns)
+    p0 = col_offset
 
-    mark = jnp.zeros(x.shape, dtype=jnp.bool_)
-    for d in range(-e, e + 1):
-        sel = winner & (best_off == d)
-        mark = mark | _roll(sel, d, 1)
-    flag_ref[0] = mark.astype(jnp.float32)
+    def kernel(used_ref, flag_ref, vflag_ref):
+        d = used_ref[0]
+        nv, nr = d.shape
+
+        # --- velocity-dim CFAR (axis 0) ---
+        vf = d >= _ref_level(d, rv, gv, mv, 0, rv + gv, nv - 1 - (rv + gv)) * tv
+        vflag_ref[0] = vf.astype(jnp.float32)
+        if not range_detect:
+            flag_ref[0] = vf.astype(jnp.float32)
+            return
+
+        # --- dense range-dim CFAR (axis 1) ---
+        ng = nr if n_global is None else n_global
+        rf = (
+            d
+            >= _ref_level(
+                d, rr, gr, mr, 1, (rr + gr) - p0, (ng - 1 - (rr + gr)) - p0
+            )
+            * tr
+        ).astype(d.dtype)
+
+        # --- cascade: strongest confirmed neighbor within +-E ---
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        neg = jnp.float32(-jnp.inf)
+        bv = jnp.full(d.shape, neg, d.dtype)
+        bo = jnp.zeros(d.shape, jnp.int32)
+        for dd in range(-e, e + 1):
+            cf = _roll(rf, -dd, 1)
+            cv = _roll(d, -dd, 1)
+            inb = (col + dd >= -p0) & (col + dd <= (nr if n_global is None else n_global) - 1 - p0)
+            val = jnp.where((cf > 0) & inb, cv, neg)
+            take = val > bv  # strict: first max wins on ties (MATLAB max)
+            bv = jnp.where(take, val, bv)
+            bo = jnp.where(take, jnp.int32(dd), bo)
+        winner = vf & (bv > neg)
+
+        mark = jnp.zeros(d.shape, d.dtype)
+        for dd in range(-e, e + 1):
+            sel = jnp.where(winner & (bo == dd), jnp.float32(1.0), jnp.float32(0.0))
+            mark = mark + _roll(sel, dd, 1)
+        flag_ref[0] = (mark > 0).astype(jnp.float32)
+
+    return kernel
 
 
 def cascaded_cfar2d_pallas(
@@ -108,12 +126,19 @@ def cascaded_cfar2d_pallas(
     n_clutter: int,
     cfg_range: CFARConfig | None = None,
     interpret: bool | None = None,
+    max_chunk: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for ``ops.cfar.cascaded_cfar2d``.
 
     ``rdm``: (..., n_velocity, n_range) float32 magnitude.  Returns bool
     ``(flags, vflags)`` of the full shape.  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
+
+    Wide RDMs are processed in overlapping range chunks of ``max_chunk``
+    columns (+ a ``ref+guard+2E`` halo): with a multi-program grid Pallas
+    double-buffers every block, so whole-segment blocks would overflow VMEM;
+    chunk validity is evaluated on *global* column indices, keeping results
+    bit-identical.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -128,23 +153,46 @@ def cascaded_cfar2d_pallas(
     used3 = used.reshape((-1, nvu, nr))
     b = used3.shape[0]
 
-    kernel = functools.partial(_cfar_kernel, cfg=cfg, cfg_r=cfg_r)
-    flags3, vflags3 = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, nvu, nr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=(
-            pl.BlockSpec((1, nvu, nr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nvu, nr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, nvu, nr), jnp.float32),
-            jax.ShapeDtypeStruct((b, nvu, nr), jnp.float32),
-        ),
-        interpret=interpret,
-    )(used3)
+    def call_kernel(block, col_offset, n_global):
+        bb, _, ncols = block.shape
+        kernel = _make_cfar_kernel(cfg, cfg_r, col_offset, n_global)
+        return pl.pallas_call(
+            kernel,
+            grid=(bb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, nvu, ncols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, nvu, ncols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, nvu, ncols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bb, nvu, ncols), jnp.float32),
+                jax.ShapeDtypeStruct((bb, nvu, ncols), jnp.float32),
+            ),
+            interpret=interpret,
+        )(block)
+
+    if nr <= max_chunk or b == 1:
+        flags3, vflags3 = call_kernel(used3, 0, nr)
+    else:
+        halo = cfg_r.ref_cells + cfg_r.guard_cells + 2 * cfg.range_extend_cells
+        f_parts, v_parts = [], []
+        for start in range(0, nr, max_chunk):
+            stop = min(start + max_chunk, nr)
+            p0 = max(0, start - halo)
+            p1 = min(nr, stop + halo)
+            ff, vv = call_kernel(used3[..., p0:p1], p0, nr)
+            f_parts.append(ff[..., start - p0 : stop - p0])
+            v_parts.append(vv[..., start - p0 : stop - p0])
+        flags3 = jnp.concatenate(f_parts, axis=-1)
+        vflags3 = jnp.concatenate(v_parts, axis=-1)
 
     flags_used = (flags3 > 0).reshape(batch_shape + (nvu, nr))
     vflags_used = (vflags3 > 0).reshape(batch_shape + (nvu, nr))

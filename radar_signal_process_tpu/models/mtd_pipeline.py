@@ -27,16 +27,29 @@ from radar_signal_process_tpu.ops.waveforms import reference_pulses
 from radar_signal_process_tpu.ops.windows import make_window
 
 
-def mtd_produce(echo: jnp.ndarray, profile: RadarProfile) -> jnp.ndarray:
+def mtd_produce(
+    echo: jnp.ndarray,
+    profile: RadarProfile,
+    stc_curve_db=None,
+) -> jnp.ndarray:
     """Echo (..., n_pulses, point_prt) -> magnitude RDM of the same shape.
 
     The full ``fun_MTD_produce`` chain; reference pulses and the slow-time
-    window are compile-time constants derived from ``profile``.
+    window are compile-time constants derived from ``profile``.  The
+    reference's dormant hooks are wired as profile options: iSTC gain
+    compensation before compression (``fun_MTD_produce.m:80-81``) and the
+    MTI canceller before the Doppler FFT (``fun_Process_MTI.m``).
     """
+    from radar_signal_process_tpu.ops.mtd import istc_compensate, mti_cancel
+
     pulses = reference_pulses(profile)
     n_pulses = echo.shape[-2]
     window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+    if profile.mtd.istc and stc_curve_db is not None:
+        echo = istc_compensate(echo, stc_curve_db)
     pc = segmented_pulse_compression(echo, profile, pulses)
+    if profile.mtd.mti_lag:
+        pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
     rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
     if profile.mtd.notch_divisor:
         rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)

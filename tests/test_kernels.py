@@ -44,3 +44,15 @@ def test_pallas_cfar_no_range_pass(rng):
     got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdm), cfg, 6, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_pallas_cfar_chunked_matches_reference_op(rng):
+    """Chunked range-axis processing (VMEM pressure path) stays bit-identical."""
+    rdms = np.stack([_rdm(rng, nv=64, nr=700, hits=10) for _ in range(3)])
+    cfg = CFARConfig(threshold=5.0)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdms), cfg, 6)
+    got_f, got_v = cascaded_cfar2d_pallas(
+        jnp.asarray(rdms), cfg, 6, interpret=True, max_chunk=256
+    )
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
