@@ -62,7 +62,7 @@ def _claim_backend(wait_s: float) -> str:
             time.sleep(10)
 
 
-def build_chain():
+def build_chain(beam_mapped: bool | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -75,16 +75,29 @@ def build_chain():
 
     prof = G2_PROFILE
     cfg = CFARConfig(threshold=5.0)
+    if beam_mapped is None:
+        # CPU caches thrash on the full (13, 4, 332, 3404) working set;
+        # sequential per-beam processing is ~1.7x faster there.  TPUs keep
+        # the full batch for utilization.
+        beam_mapped = jax.default_backend() == "cpu"
 
-    @jax.jit
-    def chain(echo_window):
-        slices = slice_cpi_window(echo_window, 4)        # (13, 4, 332, 3404)
+    def one(echo_window):
+        slices = slice_cpi_window(echo_window, 4)        # (..., 4, 332, 3404)
         rdms = mtd_produce(slices, prof)
         flags, _ = detect_rdm(rdms, prof, n_clutter=14, cfg=cfg)
         # reduce to a tiny f32 so nothing large leaves the device
         return jnp.stack(
             [jnp.sum(rdms).astype(jnp.float32), jnp.sum(flags).astype(jnp.float32)]
         )
+
+    if beam_mapped:
+
+        @jax.jit
+        def chain(echo_window):
+            return jax.lax.map(one, echo_window).sum(0)
+
+    else:
+        chain = jax.jit(one)
 
     return prof, chain
 

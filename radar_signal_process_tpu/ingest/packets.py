@@ -55,6 +55,12 @@ class G2Header:
     m_dots: int
     l_dots: int
 
+    @property
+    def ddc_decimation(self) -> int:
+        """DDC decimation factor by radar model (``FrameDataRead_xzr.m:191-196``):
+        2 for KuP4K (model 4), 4 for the X3D/C3D models."""
+        return 2 if self.radar_type == 4 else 4
+
     @classmethod
     def parse(cls, raw: bytes) -> "G2Header":
         h = np.frombuffer(raw, dtype="<u4")
@@ -154,6 +160,7 @@ class G2FrameReader:
                 # corrupted header (``FrameDataRead_xzr.m:89-94``)
                 return partial(True)
             meta = dataclasses.asdict(head)
+            meta["ddc_decimation"] = head.ddc_decimation
 
             _, eos = self.stream.read(prof.bytes_realtime)
             if eos:

@@ -96,3 +96,20 @@ def test_dp_batch_sharding_runs(rng, mesh):
     x = jax.device_put(jnp.asarray(echo), NamedSharding(mesh, P("dp", None, None)))
     rdm = jax.jit(lambda e: mtd_produce(e, prof))(x)
     assert rdm.shape == echo.shape
+
+
+def test_multihost_helpers_single_process():
+    from radar_signal_process_tpu.parallel.multihost import (
+        host_frame_assignment,
+        initialize_distributed,
+    )
+
+    pid, n = initialize_distributed()
+    assert (pid, n) == (0, 1)
+    assert list(host_frame_assignment(10, 0, 1)) == list(range(10))
+    # two hosts: ranges overlap by one frame for the CPI pair window
+    a = list(host_frame_assignment(10, 0, 2))
+    b = list(host_frame_assignment(10, 1, 2))
+    assert a == [0, 1, 2, 3, 4, 5]
+    assert b == [5, 6, 7, 8, 9]
+    assert set(a) | set(b) == set(range(10))
