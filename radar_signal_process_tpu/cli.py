@@ -264,6 +264,73 @@ def cmd_e2e(args) -> int:
     return 0
 
 
+def cmd_dmx(args) -> int:
+    """G0 end-to-end chain over a G1-format capture (DMX driver, D3).
+
+    Replicates ``DMX_SignalProcessing_main_xzr.m``: per frame, read the
+    dual-beam 24-bit capture, run PC -> MTD -> CFAR -> measurement, emit the
+    per-frame estimate series; optionally compare against a GPS track.
+    """
+    import jax
+
+    from radar_signal_process_tpu.config import G0ChainConfig, G0_PROFILE
+    from radar_signal_process_tpu.ingest.packets import G1FrameReader
+    from radar_signal_process_tpu.models.g0_chain import G0Chain
+
+    profile = G0_PROFILE
+    chain = G0Chain(profile, G0ChainConfig(), args.freq_index, args.beam_pos)
+    reader = G1FrameReader(
+        args.input,
+        prt_num=profile.prt_per_frame,
+        point_prt=profile.point_prt,
+        frames_per_file=args.frames_per_file,
+    )
+    timers = StageTimers()
+    frames_out = []
+    for frame_idx in range(args.frame_start, args.frame_start + args.frames):
+        with timers.stage("read"):
+            left, right, angles, meta = reader.read_frame(frame_idx)
+        with timers.stage("process") as h:
+            res = chain.process_frame(left, right)
+            h["fence"] = res.flags_long
+        angle = float(chain.compensate_angle(angles[:1])[0])
+        entry = {"frame": frame_idx, "azimuth_deg": angle}
+        for name, meas in (("short", res.measurements_short),
+                           ("long", res.measurements_long)):
+            valid = np.asarray(meas.valid)
+            entry[name] = {
+                "range_m": np.asarray(meas.range_m)[valid].tolist(),
+                "velocity_ms": np.asarray(meas.velocity_ms)[valid].tolist(),
+                "elevation_deg": np.asarray(meas.elevation_deg)[valid].tolist(),
+            }
+        frames_out.append(entry)
+    out = {"frames": frames_out}
+
+    if args.gps:
+        from radar_signal_process_tpu.evalx.gps import (
+            compare_estimates,
+            drop_invalid,
+            gps_frame_indices,
+            read_gps_track,
+        )
+
+        track = read_gps_track(args.gps, start_line=args.gps_start_line)
+        gi = gps_frame_indices(
+            track, profile.prt, profile.prt_per_frame, args.frames_shift
+        )
+        track, gi = drop_invalid(track, gi)
+        fr = np.asarray([
+            f["frame"] for f in frames_out for _ in f["long"]["range_m"]
+        ], dtype=np.float64)
+        rr = np.asarray([
+            r for f in frames_out for r in f["long"]["range_m"]
+        ])
+        out["gps_range_residuals"] = compare_estimates(fr, rr, gi, track.range_m)
+    print(json.dumps(out))
+    log.info("dmx timing\n%s", timers.report())
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="radar_signal_process_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -322,6 +389,18 @@ def build_parser() -> argparse.ArgumentParser:
     e2e.add_argument("--max-detections", type=int, default=16)
     e2e.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
     e2e.set_defaults(fn=cmd_e2e)
+
+    dmx = sub.add_parser("dmx", help="G0 end-to-end chain over a G1-format capture")
+    dmx.add_argument("--input", required=True)
+    dmx.add_argument("--frames", type=int, default=1)
+    dmx.add_argument("--frame-start", type=int, default=1)
+    dmx.add_argument("--frames-per-file", type=int, default=10)
+    dmx.add_argument("--freq-index", type=int, default=5)
+    dmx.add_argument("--beam-pos", type=int, default=0)
+    dmx.add_argument("--gps", default=None)
+    dmx.add_argument("--gps-start-line", type=int, default=1)
+    dmx.add_argument("--frames-shift", type=int, default=0)
+    dmx.set_defaults(fn=cmd_dmx)
     return p
 
 

@@ -56,3 +56,39 @@ def test_pallas_cfar_chunked_matches_reference_op(rng):
     )
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_pallas_rdm_former_matches_ops(rng):
+    """Fused DFT+magnitude+notch kernel vs doppler_process + notch."""
+    from radar_signal_process_tpu.kernels import doppler_rdm_pallas
+    from radar_signal_process_tpu.ops import doppler_process, make_window, zero_velocity_notch
+
+    pc = (
+        rng.standard_normal((3, 96, 300)) + 1j * rng.standard_normal((3, 96, 300))
+    ).astype(np.complex64)
+    w = make_window("kaiser", 96, 8.0)
+    got = np.asarray(
+        doppler_rdm_pallas(jnp.asarray(pc), w, notch_divisor=20, interpret=True,
+                           max_chunk=128)
+    )
+    want = np.asarray(
+        zero_velocity_notch(
+            doppler_process(jnp.asarray(pc), w, use_matmul=True), divisor=20
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_rdm_former_no_notch(rng):
+    from radar_signal_process_tpu.kernels import doppler_rdm_pallas
+    from radar_signal_process_tpu.ops import doppler_process, make_window
+
+    pc = (rng.standard_normal((48, 64)) + 1j * rng.standard_normal((48, 64))).astype(
+        np.complex64
+    )
+    w = make_window("hamming", 48)
+    got = np.asarray(
+        doppler_rdm_pallas(jnp.asarray(pc), w, notch_divisor=None, interpret=True)
+    )
+    want = np.asarray(doppler_process(jnp.asarray(pc), w, use_matmul=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
