@@ -264,6 +264,33 @@ def cmd_e2e(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Reload stage-2 RDM manifests and render dashboards (reference V3).
+
+    Unlike ``analyze_and_plot_mtd_results.m`` — which must re-declare the
+    radar parameters because the reference never stored them — the profile
+    is recovered from the artifact itself.
+    """
+    from radar_signal_process_tpu.viz import plot_mtd_dashboard
+
+    import os
+
+    os.makedirs(args.output, exist_ok=True)
+    arrays, profile, meta = load_frame(args.input, args.frame)
+    rdm = np.asarray(arrays["rdm"])
+    if rdm.ndim == 4:
+        rdm = rdm[args.beam, args.win_slice]
+    out = plot_mtd_dashboard(
+        rdm, profile,
+        save_path=os.path.join(
+            args.output, f"frame_{args.frame}_b{args.beam}_s{args.win_slice}.png"
+        ),
+    )
+    log.info("wrote %s (profile %s, meta %s)", out, profile.name, meta)
+    print(out)
+    return 0
+
+
 def cmd_dmx(args) -> int:
     """G0 end-to-end chain over a G1-format capture (DMX driver, D3).
 
@@ -401,6 +428,14 @@ def build_parser() -> argparse.ArgumentParser:
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)
     dmx.set_defaults(fn=cmd_dmx)
+
+    ana = sub.add_parser("analyze", help="render RDM dashboards from manifests")
+    ana.add_argument("--input", required=True)
+    ana.add_argument("--output", required=True)
+    ana.add_argument("--frame", type=int, default=0)
+    ana.add_argument("--beam", type=int, default=0)
+    ana.add_argument("--win-slice", type=int, default=0)
+    ana.set_defaults(fn=cmd_analyze)
     return p
 
 

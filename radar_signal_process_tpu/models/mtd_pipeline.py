@@ -31,6 +31,7 @@ def mtd_produce(
     echo: jnp.ndarray,
     profile: RadarProfile,
     stc_curve_db=None,
+    use_pallas_rdm: bool | None = None,
 ) -> jnp.ndarray:
     """Echo (..., n_pulses, point_prt) -> magnitude RDM of the same shape.
 
@@ -50,6 +51,21 @@ def mtd_produce(
     pc = segmented_pulse_compression(echo, profile, pulses)
     if profile.mtd.mti_lag:
         pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
+
+    if use_pallas_rdm is None:
+        import jax
+
+        use_pallas_rdm = (
+            jax.default_backend() == "tpu" and profile.mtd.fftshift
+        )
+    if use_pallas_rdm and profile.mtd.fftshift:
+        from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
+
+        return doppler_rdm_pallas(
+            pc, window, notch_divisor=profile.mtd.notch_divisor or None,
+            shift=True,
+        )
+
     rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
     if profile.mtd.notch_divisor:
         rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
