@@ -179,6 +179,8 @@ def main() -> int:
                     help="also report per-stage PC/MTD/CFAR times")
     ap.add_argument("--oracle-seconds", type=float, default=None,
                     help="use a precomputed oracle beam-slice time")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of the timed runs")
     args = ap.parse_args()
 
     platform = _claim_backend(args.wait_tpu_s)
@@ -200,7 +202,12 @@ def main() -> int:
     )
     x = jnp.asarray(host)
 
-    frame_s = time_chain(chain, x, args.repeat)
+    if args.profile_dir:
+        jax.block_until_ready(chain(x))  # compile outside the trace
+        with jax.profiler.trace(args.profile_dir):
+            frame_s = time_chain(chain, x, args.repeat)
+    else:
+        frame_s = time_chain(chain, x, args.repeat)
     frames_per_s = 1.0 / frame_s
 
     # per-stage breakdown mirroring the reference's timer placement

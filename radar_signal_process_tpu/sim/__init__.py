@@ -6,7 +6,10 @@ a controlled signal-to-clutter ratio and checks the full chain recovers it
 (``MatlabProcess_xuzerui/main.m:184-280``).
 """
 
-from radar_signal_process_tpu.sim.targets import synthesize_target_echo  # noqa: F401
+from radar_signal_process_tpu.sim.targets import (  # noqa: F401
+    synthesize_target_echo,
+    synthesize_scene,
+)
 from radar_signal_process_tpu.sim.scr import apply_scr  # noqa: F401
 from radar_signal_process_tpu.sim.clutter import (  # noqa: F401
     add_clutter,

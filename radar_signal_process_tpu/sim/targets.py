@@ -51,3 +51,21 @@ def synthesize_target_echo(
             amplitude * slow_phase[:, None] * pulse[None, :span]
         )
     return echo
+
+
+def synthesize_scene(
+    profile: RadarProfile,
+    targets,  # iterable of (velocity_ms, range_m, amplitude)
+    n_pulses: int | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Superpose multiple point targets with random initial phases."""
+    n_pulses = n_pulses or profile.prt_per_frame
+    rng = np.random.default_rng(seed)
+    echo = np.zeros((n_pulses, profile.point_prt), dtype=np.complex128)
+    for v, r, a in targets:
+        echo += synthesize_target_echo(
+            profile, v, r, n_pulses, amplitude=a,
+            initial_phase=float(rng.uniform(0, 2 * np.pi)),
+        )
+    return echo

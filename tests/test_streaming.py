@@ -40,3 +40,51 @@ def test_streaming_pipeline(tmp_path, rng):
         assert r.rdms.shape == (2, 2, 16, 128)
     assert pipe.counters.get("frames_ingested") == n_frames
     assert pipe.counters.get("windows_processed") == n_frames - 1
+
+
+def test_multi_target_scene_detected(rng):
+    """Two targets at distinct (V, R) both detected through the full chain."""
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.config import CFARConfig
+    from radar_signal_process_tpu.models.detect import detect_rdm
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+    from radar_signal_process_tpu.ops import extract_detections
+    from radar_signal_process_tpu.sim import apply_scr, synthetic_clutter
+    from radar_signal_process_tpu.sim.targets import synthesize_scene
+    from radar_signal_process_tpu.config import G2_PROFILE as prof
+
+    scene = synthesize_scene(prof, [(-5.7, 320.0, 1.0), (11.0, 900.0, 1.0)])
+    clutter = synthetic_clutter(prof, seed=11)
+    echo = apply_scr(scene, clutter, 20.0, prof) + clutter
+    rdm = mtd_produce(jnp.asarray(echo), prof)
+    flags, _ = detect_rdm(rdm, prof, 14, cfg=CFARConfig(threshold=5.0))
+    dets = extract_detections(flags, rdm, 32)
+    valid = np.asarray(dets.valid)
+    cols = set(int(c) for c in np.asarray(dets.r_idx)[valid])
+    col1 = 951 + round(320.0 / prof.delta_r)
+    col2 = 951 + round(900.0 / prof.delta_r)
+    assert any(abs(c - col1) <= 1 for c in cols), (cols, col1)
+    assert any(abs(c - col2) <= 1 for c in cols), (cols, col2)
+
+
+def test_streaming_stops_cleanly_on_truncated_capture(tmp_path, rng):
+    """A capture truncated mid-frame ends the stream without raising."""
+    n_frames = 3
+    shape = (n_frames, SMALL.prt_per_frame, SMALL.point_prt, SMALL.n_channels)
+    iq = (rng.integers(-500, 500, shape) + 1j * rng.integers(-500, 500, shape)).astype(
+        np.complex128
+    )
+    write_g2_capture(str(tmp_path), iq, SMALL, data_type=1)
+    import os
+
+    p = tmp_path / "1.000001.bin"
+    blob = p.read_bytes()
+    p.write_bytes(blob[: len(blob) * 3 // 4])  # chop inside frame 3
+
+    pipe = StreamingPipeline(
+        G2FrameReader(str(tmp_path), SMALL), SMALL, win_size=2,
+        max_frames=10, clutter_v=1e-6, max_detections=4,
+    )
+    results = list(pipe)
+    assert [r.frame_idx for r in results] == [0]  # frames 0,1 complete -> 1 pair
