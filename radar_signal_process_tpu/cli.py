@@ -264,6 +264,30 @@ def cmd_e2e(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Threshold x SCR sweep with the S4 detection metrics (main_cfar's
+    ``for T=[5]`` loop generalized; build plan §7.2 item 8)."""
+    from radar_signal_process_tpu.evalx.sweep import format_sweep, sweep_thresholds
+
+    profile = PROFILES[args.profile]
+    results = sweep_thresholds(
+        profile,
+        thresholds=args.thresholds,
+        scr_db=args.scr,
+        velocity_ms=args.velocity,
+        range_m=args.range,
+        n_frames=args.frames,
+        clutter_v=args.clutter_v,
+    )
+    print(format_sweep(results))
+
+    def clean(m):
+        return {k: (None if v != v else v) for k, v in m.items()}
+
+    print(json.dumps({f"{scr}/{t}": clean(m) for (scr, t), m in results.items()}))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Reload stage-2 RDM manifests and render dashboards (reference V3).
 
@@ -306,7 +330,16 @@ def cmd_dmx(args) -> int:
 
     profile = G0_PROFILE
     chain = G0Chain(profile, G0ChainConfig(), args.freq_index, args.beam_pos)
-    reader = G1FrameReader(
+    reader_cls = G1FrameReader
+    if args.native:
+        from radar_signal_process_tpu.ingest import native_available
+        from radar_signal_process_tpu.ingest.native_loader import (
+            NativeG1FrameReader,
+        )
+
+        if native_available():
+            reader_cls = NativeG1FrameReader
+    reader = reader_cls(
         args.input,
         prt_num=profile.prt_per_frame,
         point_prt=profile.point_prt,
@@ -427,6 +460,7 @@ def build_parser() -> argparse.ArgumentParser:
     dmx.add_argument("--gps", default=None)
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)
+    dmx.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
     dmx.set_defaults(fn=cmd_dmx)
 
     ana = sub.add_parser("analyze", help="render RDM dashboards from manifests")
@@ -436,6 +470,16 @@ def build_parser() -> argparse.ArgumentParser:
     ana.add_argument("--beam", type=int, default=0)
     ana.add_argument("--win-slice", type=int, default=0)
     ana.set_defaults(fn=cmd_analyze)
+
+    sw = sub.add_parser("sweep", help="threshold x SCR detection-metric sweep")
+    sw.add_argument("--profile", default="G2", choices=PROFILES)
+    sw.add_argument("--thresholds", type=float, nargs="+", default=[3.0, 5.0, 7.0])
+    sw.add_argument("--scr", type=float, nargs="+", default=[0.0, 10.0, 20.0])
+    sw.add_argument("--velocity", type=float, default=-5.7)
+    sw.add_argument("--range", type=float, default=320.0)
+    sw.add_argument("--frames", type=int, default=4)
+    sw.add_argument("--clutter-v", type=float, default=3.0)
+    sw.set_defaults(fn=cmd_sweep)
     return p
 
 

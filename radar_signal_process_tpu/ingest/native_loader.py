@@ -129,6 +129,30 @@ class NativeG2FrameReader:
             pass
 
 
+class NativeG1FrameReader:
+    """C++-backed drop-in for ``packets.G1FrameReader``."""
+
+    def __init__(
+        self, root: str, prt_num: int = 1536, point_prt: int = 1031,
+        frames_per_file: int = 10,
+    ):
+        if _load() is None:
+            raise RuntimeError(f"native ingest unavailable: {_build_error}")
+        self.root = root
+        self.prt_num = prt_num
+        self.point_prt = point_prt
+        self.frames_per_file = frames_per_file
+
+    def read_frame(self, frame_idx: int):
+        from radar_signal_process_tpu.ingest.paths import g1_file_path
+
+        file_ind = (frame_idx - 1) // self.frames_per_file + 1
+        return native_g1_read_frame(
+            g1_file_path(self.root, file_ind), frame_idx,
+            self.prt_num, self.point_prt, self.frames_per_file,
+        )
+
+
 def native_g1_read_frame(
     path: str, frame_idx: int, prt_num: int = 1536, point_prt: int = 1031,
     frames_per_file: int = 10,

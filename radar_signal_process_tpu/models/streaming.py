@@ -49,9 +49,13 @@ class StreamingPipeline:
         max_detections: int = 64,
         beam: int = 0,
         win_slice: int = 0,
+        dbf_coeffs: np.ndarray | None = None,
     ):
         self.reader = reader
         self.profile = profile
+        self.dbf_coeffs = (
+            None if dbf_coeffs is None else np.asarray(dbf_coeffs, np.complex64)
+        )
         self.win_size = win_size
         self.prefetch = prefetch
         self.max_frames = max_frames
@@ -74,10 +78,19 @@ class StreamingPipeline:
                 res = self.reader.read_frame(idx)
                 if not res.frame_completed:
                     break
-                # (prt, samples, beams) -> (beams, prt, samples), staged to
-                # the device while the consumer computes
-                host = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
-                dev = jax.device_put(jnp.asarray(host, dtype=jnp.complex64))
+                if self.dbf_coeffs is not None:
+                    # channels -> beams on device (MXU einsum), overlapped
+                    # with the consumer's compute
+                    from radar_signal_process_tpu.ops.dbf import apply_dbf
+
+                    chans = jnp.asarray(res.iq, dtype=jnp.complex64)
+                    beams = apply_dbf(chans, self.dbf_coeffs)
+                    dev = jnp.moveaxis(beams, -1, 0)
+                else:
+                    # (prt, samples, beams) -> (beams, prt, samples), staged
+                    # to the device while the consumer computes
+                    host = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
+                    dev = jax.device_put(jnp.asarray(host, dtype=jnp.complex64))
                 self._queue.put((idx, dev))
                 self.counters.add("frames_ingested")
                 self.counters.add("prts_parsed", self.profile.prt_per_frame)

@@ -88,3 +88,23 @@ def test_streaming_stops_cleanly_on_truncated_capture(tmp_path, rng):
     )
     results = list(pipe)
     assert [r.frame_idx for r in results] == [0]  # frames 0,1 complete -> 1 pair
+
+
+def test_streaming_with_device_dbf(tmp_path, rng):
+    """Raw DDC channels beamformed on device inside the streaming producer."""
+    n_frames = 3
+    shape = (n_frames, SMALL.prt_per_frame, SMALL.point_prt, SMALL.n_channels)
+    iq = (rng.integers(-500, 500, shape) + 1j * rng.integers(-500, 500, shape)).astype(
+        np.complex128
+    )
+    write_g2_capture(str(tmp_path), iq, SMALL, data_type=1)
+    coeffs = (rng.standard_normal((SMALL.n_beams, SMALL.n_channels))
+              + 1j * rng.standard_normal((SMALL.n_beams, SMALL.n_channels)))
+    pipe = StreamingPipeline(
+        G2FrameReader(str(tmp_path), SMALL), SMALL, win_size=2,
+        max_frames=n_frames, clutter_v=1e-6, max_detections=4,
+        dbf_coeffs=coeffs,
+    )
+    results = list(pipe)
+    assert [r.frame_idx for r in results] == [0, 1]
+    assert results[0].rdms.shape == (SMALL.n_beams, 2, 16, 128)
