@@ -21,11 +21,10 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
-from radar_signal_process_tpu.config import PROFILES, G2_PROFILE
+from radar_signal_process_tpu.config import PROFILES
 from radar_signal_process_tpu.utils import (
     Counters,
     StageTimers,

@@ -9,7 +9,6 @@ threshold axis is vmapped — one compile covers the whole sweep.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import jax

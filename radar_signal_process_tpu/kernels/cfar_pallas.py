@@ -14,7 +14,6 @@ program.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

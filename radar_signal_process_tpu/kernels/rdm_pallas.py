@@ -15,8 +15,6 @@ Bit-parity with ``ops.mtd.doppler_process(use_matmul=True)`` +
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

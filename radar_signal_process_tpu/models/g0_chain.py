@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_signal_process_tpu.config import (
-    CFARConfig,
     G0ChainConfig,
     G0_PROFILE,
     NARROW_PULSE_FIR_TAPS,

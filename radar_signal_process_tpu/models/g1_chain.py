@@ -10,8 +10,6 @@ the framework's synthetic-target golden tests.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

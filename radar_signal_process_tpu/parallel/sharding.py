@@ -17,7 +17,6 @@ detector, including the global-edge fallback rules (validity is evaluated on
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

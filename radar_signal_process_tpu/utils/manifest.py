@@ -17,7 +17,6 @@ from typing import Any, Dict, Tuple
 
 import numpy as np
 
-from radar_signal_process_tpu import config as _config
 from radar_signal_process_tpu.config import CFARConfig, MTDConfig, RadarProfile
 
 

@@ -132,3 +132,33 @@ def test_g1_chain_notch_suppresses_stationary(rng):
     outside = np.delete(rdm, np.s_[center - hw : center + hw + 1], axis=0)
     assert outside.max() < rdm.max() + 1  # sanity: no inf/nan
 
+
+
+def test_g0_pc_and_mtd_match_numpy_oracle(rng):
+    """G0 frequency-domain matched filter + slow-time FFT vs direct NumPy."""
+    prof = G0_PROFILE
+    chain = G0Chain(prof, G0ChainConfig(), freq_index=5, beam_pos=0)
+    n, pts = prof.prt_per_frame, prof.point_prt
+    left = rng.standard_normal((n, pts)) + 1j * rng.standard_normal((n, pts))
+    right = rng.standard_normal((n, pts)) + 1j * rng.standard_normal((n, pts))
+
+    short_mf, long_mf = chain._pc(jnp.asarray(left), jnp.asarray(right))
+
+    # oracle: matchF2 = conj(fft(win*mf, 512)); per-row ifft(fft(echo)*matchF2)
+    ts = prof.ts
+    tau2 = prof.pulse_widths[1]
+    n2 = int(round(tau2 / ts))
+    t2 = np.arange(n2) * ts - tau2 / 2.0
+    mf = np.exp(1j * np.pi * (prof.bandwidth / tau2) * t2**2)
+    mf = mf / np.linalg.norm(mf)
+    win = np.kaiser(n2, 4.5)
+    match_spec = np.conj(np.fft.fft(mf * win, 512))
+    long_echo = left[:, 62:]
+    want = np.fft.ifft(np.fft.fft(long_echo, 512, axis=1) * match_spec[None, :], axis=1)
+    np.testing.assert_allclose(np.asarray(long_mf[0]), want, rtol=1e-9, atol=1e-9)
+
+    # oracle MTD: fft(mf * hamming(n), 2048, axis=0), unshifted
+    w = np.hamming(n)
+    mtd = chain._mtd(jnp.asarray(want[None]))
+    want_mtd = np.fft.fft(want * w[:, None], 2048, axis=0)
+    np.testing.assert_allclose(np.asarray(mtd[0]), want_mtd, rtol=1e-9, atol=1e-7)
