@@ -185,7 +185,9 @@ def cmd_detect(args) -> int:
 
             cfg = dc.replace(profile.cfar, threshold=args.threshold)
             nc = clutter_cells(profile, rdms.shape[-2], args.clutter_v)
-            detector = make_detector(profile, n_clutter=nc, max_detections=args.max_detections)
+            detector = make_detector(
+                profile, n_clutter=nc, max_detections=args.max_detections, cfg=cfg
+            )
         with timers.stage("cfar") as h:
             flags, vflags, dets = detector(rdms)
             h["fence"] = flags

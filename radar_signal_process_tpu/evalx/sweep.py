@@ -66,11 +66,11 @@ def sweep_thresholds(
         return rdm, flags
 
     results = {}
+    target = synthesize_target_echo(profile, velocity_ms, range_m, n_pulses=n)
     for scr in scr_db:
         frames_flags = {t: [] for t in thresholds}
         frames_rdm = []
         for f in range(n_frames):
-            target = synthesize_target_echo(profile, velocity_ms, range_m, n_pulses=n)
             clutter = synthetic_clutter(profile, n_pulses=n, seed=seed + 97 * f)
             echo = add_clutter(apply_scr(target, clutter, scr, profile), clutter)
             echo_j = jnp.asarray(echo)

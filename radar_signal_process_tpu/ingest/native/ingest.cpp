@@ -23,12 +23,15 @@ struct FileStream {
     int64_t remaining = 0;
 
     bool open_next() {
-        ++file_index;
+        // commit the index only on success so retries after transient EOS
+        // re-attempt the same file instead of skipping ahead
+        const int next = file_index + 1;
         char name[64];
-        std::snprintf(name, sizeof(name), pattern.c_str(), file_index);
+        std::snprintf(name, sizeof(name), pattern.c_str(), next);
         std::string path = root + "/" + name;
         fh = std::fopen(path.c_str(), "rb");
         if (!fh) return false;
+        file_index = next;
         std::fseek(fh, 0, SEEK_END);
         remaining = std::ftell(fh);
         std::fseek(fh, 0, SEEK_SET);
@@ -62,7 +65,10 @@ struct FileStream {
 };
 
 inline int32_t sign24(uint32_t v) {
-    return (v & 0x800000u) ? (int32_t)v - 0x1000000 : (int32_t)v;
+    // MATLAB parity: the reference subtracts 2^24 only for values strictly
+    // greater than 2^23 (FrameDataRead_xzr.m:135-136), so 0x800000 itself
+    // stays positive.
+    return (v > 0x800000u) ? (int32_t)v - 0x1000000 : (int32_t)v;
 }
 
 struct G2Reader {

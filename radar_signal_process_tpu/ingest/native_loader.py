@@ -100,13 +100,25 @@ class NativeG2FrameReader:
             profile.prt_per_frame, profile.point_prt, profile.n_channels,
             profile.bytes_head, profile.bytes_realtime, profile.bytes_tail,
         )
+        self._pending_idx: int | None = None
+        self._pending: tuple | None = None
 
     def read_frame(self, frame_idx: int) -> FrameResult:
         prof = self.profile
-        iq = np.zeros(
-            (prof.prt_per_frame, prof.point_prt, prof.n_channels), dtype=np.complex64
-        )
-        angles = np.zeros(prof.prt_per_frame, dtype=np.float64)
+        # Mid-frame resume parity with packets.G2FrameReader: the C side
+        # resumes parsing at its PRT cursor, so the Python buffers for the
+        # same logical frame must persist across retries or the earlier PRTs
+        # would come back zeroed.
+        if self._pending_idx == frame_idx and self._pending is not None:
+            iq, angles = self._pending
+        else:
+            iq = np.zeros(
+                (prof.prt_per_frame, prof.point_prt, prof.n_channels),
+                dtype=np.complex64,
+            )
+            angles = np.zeros(prof.prt_per_frame, dtype=np.float64)
+            self._pending_idx = frame_idx
+            self._pending = (iq, angles)
         prts_read = ctypes.c_int(0)
         eos = ctypes.c_int(0)
         done = self._lib.rsp_g2_read_frame(
@@ -115,6 +127,9 @@ class NativeG2FrameReader:
             angles.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ctypes.byref(prts_read), ctypes.byref(eos),
         )
+        if done:
+            self._pending_idx = None
+            self._pending = None
         return FrameResult(iq, angles, bool(done), bool(eos.value), {})
 
     def close(self) -> None:

@@ -38,13 +38,18 @@ class FileStream:
         self._remaining = 0
 
     def _open_next(self) -> bool:
-        self.file_index += 1
-        path = self.path_fn(self.root, self.file_index)
+        # commit the index only on success so a retry after transient EOS
+        # re-attempts the same file instead of skipping ahead (the reference
+        # advances unconditionally — read_continuous_file_stream.m:254 — which
+        # silently defeats its own retry loop)
+        nxt = self.file_index + 1
+        path = self.path_fn(self.root, nxt)
         try:
             fh = open(path, "rb")
         except OSError:
             return False
         size = os.fstat(fh.fileno()).st_size
+        self.file_index = nxt
         self._fh = fh
         self._remaining = size
         return True

@@ -43,7 +43,16 @@ def detect_rdm(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if renotch_divisor:
-        rdm = zero_velocity_notch(rdm, divisor=renotch_divisor)
+        if profile.mtd.fftshift:
+            rdm = zero_velocity_notch(rdm, divisor=renotch_divisor)
+        else:
+            # unshifted spectra (G0) keep clutter at the spectrum edges;
+            # the centered notch would erase the highest-Doppler band
+            from radar_signal_process_tpu.ops.mtd import (
+                zero_velocity_notch_unshifted,
+            )
+
+            rdm = zero_velocity_notch_unshifted(rdm, n_clutter)
     segments = profile.cfar_segments or ((0, rdm.shape[-1]),)
     if not use_pallas:
         return segmented_cfar(rdm, segments, cfg, n_clutter)
@@ -67,6 +76,7 @@ def make_detector(
     clutter_v: float = 3.0,
     max_detections: int = 64,
     renotch_divisor: int | None = 20,
+    cfg: CFARConfig | None = None,
 ):
     """Jitted detector: RDM (n_v, n_r) -> (flags, vflags, DetectionList)."""
 
@@ -77,7 +87,9 @@ def make_detector(
             if n_clutter is not None
             else clutter_cells(profile, rdm.shape[-2], clutter_v)
         )
-        flags, vflags = detect_rdm(rdm, profile, nc, renotch_divisor=renotch_divisor)
+        flags, vflags = detect_rdm(
+            rdm, profile, nc, cfg=cfg, renotch_divisor=renotch_divisor
+        )
         dets: DetectionList = extract_detections(flags, rdm, max_detections)
         return flags, vflags, dets
 

@@ -55,8 +55,13 @@ def mtd_produce(
     if use_pallas_rdm is None:
         import jax
 
+        # the fused kernel pins two (N, N) DFT planes in VMEM; beyond ~512
+        # pulses that exceeds the Mosaic VMEM budget (see CLAUDE.md), so
+        # long CPIs fall back to the XLA matmul-DFT path
         use_pallas_rdm = (
-            jax.default_backend() == "tpu" and profile.mtd.fftshift
+            jax.default_backend() == "tpu"
+            and profile.mtd.fftshift
+            and n_pulses <= 512
         )
     if use_pallas_rdm and profile.mtd.fftshift:
         from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas

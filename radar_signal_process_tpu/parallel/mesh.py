@@ -23,7 +23,7 @@ def best_mesh_shape(n_devices: int, n_axes: int = 2) -> Tuple[int, ...]:
             best = (a, n_devices // a)
     if n_axes == 2:
         return best
-    return best[:1] * (n_axes - 2) + best  # degenerate leading axes
+    return (1,) * (n_axes - 2) + best  # degenerate leading axes
 
 
 def make_mesh(
