@@ -118,9 +118,11 @@ def timing_channel_works() -> bool:
     """Detect broken completion reporting (seen on the axon relay backend).
 
     Runs a chained-matmul burn whose true device time must scale with the
-    iteration count; when ``block_until_ready`` returns in essentially zero
-    time for 512 chained 4096^3 matmuls, the backend is not reporting
-    completion and wall-clock timing is meaningless.
+    iteration count.  Both trip counts are compiled (and run once) *before*
+    timing — ``static_argnums`` means each ``n`` is a separate executable, and
+    including a compile in the timed call would make the check always pass.
+    A backend that awaits completion shows t(256) >> t(8) (true work ratio
+    32x); a relay that returns at dispatch shows a flat round-trip latency.
     """
     import functools
 
@@ -135,13 +137,19 @@ def timing_channel_works() -> bool:
         return jax.lax.fori_loop(0, n, body, a)
 
     a = jnp.ones((2048, 2048), jnp.float32)
-    jax.block_until_ready(burn(a, 1))
-    t0 = time.perf_counter()
-    jax.block_until_ready(burn(a, 256))
-    elapsed = time.perf_counter() - t0
-    # 256 chained 2048^3 matmuls = 4.4 TFLOP; even at 400 TFLOP/s that is
-    # > 10 ms.  Sub-5ms means completion is not being awaited.
-    return elapsed > 5e-3
+    for n in (8, 256):
+        jax.block_until_ready(burn(a, n))  # compile + first run
+
+    def timed(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(burn(a, n))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(8) for _ in range(3))
+    t_large = min(timed(256) for _ in range(3))
+    # 256 chained 2048^3 matmuls = 4.4 TFLOP: > 20 ms even at peak; and the
+    # work ratio is 32x, so demand at least 8x scaling over the small run.
+    return t_large > 10e-3 and t_large > 8 * t_small
 
 
 def oracle_beam_slice_seconds(prof, echo_slice: np.ndarray) -> float:

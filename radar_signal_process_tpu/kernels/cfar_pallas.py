@@ -150,7 +150,6 @@ def cascaded_cfar2d_pallas(
     batch_shape = used.shape[:-2]
     nvu = used.shape[-2]
     used3 = used.reshape((-1, nvu, nr))
-    b = used3.shape[0]
 
     def call_kernel(block, col_offset, n_global):
         bb, _, ncols = block.shape
@@ -178,7 +177,7 @@ def cascaded_cfar2d_pallas(
             interpret=interpret,
         )(block)
 
-    if nr <= max_chunk or b == 1:
+    if nr <= max_chunk:
         flags3, vflags3 = call_kernel(used3, 0, nr)
     else:
         halo = cfg_r.ref_cells + cfg_r.guard_cells + 2 * cfg.range_extend_cells
