@@ -37,6 +37,47 @@ from radar_signal_process_tpu.utils import (
 log = get_logger("radar_tpu.cli")
 
 
+def _stage_exists(directory: str, frame_idx: int, fmt: str) -> bool:
+    """Frame-keyed idempotence check for either artifact format."""
+    from radar_signal_process_tpu.utils import matbus
+
+    if fmt == "mat":
+        return matbus.mat_frame_exists(directory, frame_idx)
+    return frame_exists(directory, frame_idx)
+
+
+def _load_stage1(directory: str, frame_idx: int, profile):
+    """Load a stage-1 frame from either the ``.npz`` manifest or the
+    reference's MATLAB ``frame_N.mat`` bus (``bin_to_mat_xzr.m:66``)."""
+    import os
+
+    from radar_signal_process_tpu.utils import matbus
+    from radar_signal_process_tpu.utils.manifest import frame_path
+
+    if os.path.exists(frame_path(directory, frame_idx)):
+        return load_frame(directory, frame_idx)
+    if matbus.mat_frame_exists(directory, frame_idx):
+        iq, servo = matbus.load_frame_mat(matbus.mat_frame_path(directory, frame_idx))
+        return {"iq": iq, "servo_angle": servo}, profile, {"format": "mat"}
+    raise FileNotFoundError(frame_path(directory, frame_idx))
+
+
+def _load_rdms(directory: str, frame_idx: int, profile):
+    """Load stage-2 RDMs (beam, win, v, r) from ``.npz`` or MATLAB form."""
+    import os
+
+    from radar_signal_process_tpu.utils import matbus
+    from radar_signal_process_tpu.utils.manifest import frame_path
+
+    if os.path.exists(frame_path(directory, frame_idx)):
+        arrays, prof, meta = load_frame(directory, frame_idx)
+        return arrays["rdm"], prof, meta
+    if matbus.mat_frame_exists(directory, frame_idx):
+        rdm = matbus.load_mtd_mat(matbus.mat_frame_path(directory, frame_idx))
+        return rdm, profile, {"format": "mat"}
+    raise FileNotFoundError(frame_path(directory, frame_idx))
+
+
 def cmd_simulate(args) -> int:
     from radar_signal_process_tpu.sim import (
         add_clutter,
@@ -92,7 +133,7 @@ def cmd_ingest(args) -> int:
     counters = Counters()
     frame_idx, retries = 0, 0
     while frame_idx < args.frames:
-        if frame_exists(args.output, frame_idx) and not args.force:
+        if _stage_exists(args.output, frame_idx, args.format) and not args.force:
             frame_idx += 1
             continue
         res = reader.read_frame(frame_idx)
@@ -104,11 +145,19 @@ def cmd_ingest(args) -> int:
                 from radar_signal_process_tpu.ops.dbf import apply_dbf
 
                 iq = np.asarray(apply_dbf(jnp.asarray(iq), coeffs.astype(np.complex64)))
-            save_frame(
-                args.output, frame_idx,
-                {"iq": iq, "servo_angle": res.servo_angle},
-                profile, meta={"dbf": coeffs is not None},
-            )
+            if args.format == "mat":
+                from radar_signal_process_tpu.utils import matbus
+
+                matbus.save_frame_mat(
+                    matbus.mat_frame_path(args.output, frame_idx),
+                    iq, res.servo_angle,
+                )
+            else:
+                save_frame(
+                    args.output, frame_idx,
+                    {"iq": iq, "servo_angle": res.servo_angle},
+                    profile, meta={"dbf": coeffs is not None},
+                )
             counters.add("frames")
             counters.add("prts", profile.prt_per_frame)
             frame_idx += 1
@@ -137,12 +186,12 @@ def cmd_mtd(args) -> int:
     timers = StageTimers()
     done = 0
     for frame_idx in range(args.frames):
-        if frame_exists(args.output, frame_idx) and not args.force:
+        if _stage_exists(args.output, frame_idx, args.format) and not args.force:
             done += 1
             continue
         try:
-            now, _, _ = load_frame(args.input, frame_idx)
-            nxt, _, _ = load_frame(args.input, frame_idx + 1)
+            now, _, _ = _load_stage1(args.input, frame_idx, profile)
+            nxt, _, _ = _load_stage1(args.input, frame_idx + 1, profile)
         except FileNotFoundError:
             log.warning("frames %d/%d unavailable; stopping", frame_idx, frame_idx + 1)
             break
@@ -152,11 +201,18 @@ def cmd_mtd(args) -> int:
         with timers.stage("mtd") as h:
             rdms = process(jnp.asarray(a, jnp.complex64), jnp.asarray(b, jnp.complex64))
             h["fence"] = rdms
-        save_frame(
-            args.output, frame_idx,
-            {"rdm": np.asarray(rdms), "servo_angle": now["servo_angle"]},
-            profile, meta={"win_size": args.win_size},
-        )
+        if args.format == "mat":
+            from radar_signal_process_tpu.utils import matbus
+
+            matbus.save_mtd_mat(
+                matbus.mat_frame_path(args.output, frame_idx), np.asarray(rdms)
+            )
+        else:
+            save_frame(
+                args.output, frame_idx,
+                {"rdm": np.asarray(rdms), "servo_angle": now["servo_angle"]},
+                profile, meta={"win_size": args.win_size},
+            )
         done += 1
     log.info("mtd done (%d frames)\n%s", done, timers.report())
     return 0
@@ -172,14 +228,14 @@ def cmd_detect(args) -> int:
     timers = StageTimers()
     done = 0
     for frame_idx in range(args.frames):
-        if frame_exists(args.output, frame_idx) and not args.force:
+        if _stage_exists(args.output, frame_idx, args.format) and not args.force:
             done += 1
             continue
         try:
-            arrays, _, meta = load_frame(args.input, frame_idx)
+            rdm_arr, _, meta = _load_rdms(args.input, frame_idx, profile)
         except FileNotFoundError:
             break
-        rdms = jnp.asarray(arrays["rdm"])
+        rdms = jnp.asarray(rdm_arr)
         if detector is None:
             import dataclasses as dc
 
@@ -191,18 +247,25 @@ def cmd_detect(args) -> int:
         with timers.stage("cfar") as h:
             flags, vflags, dets = detector(rdms)
             h["fence"] = flags
-        save_frame(
-            args.output, frame_idx,
-            {
-                "flags": np.asarray(flags),
-                "vflags": np.asarray(vflags),
-                "det_v": np.asarray(dets.v_idx),
-                "det_r": np.asarray(dets.r_idx),
-                "det_amp": np.asarray(dets.amplitude),
-                "det_valid": np.asarray(dets.valid),
-            },
-            profile, meta={"threshold": args.threshold},
-        )
+        if args.format == "mat":
+            from radar_signal_process_tpu.utils import matbus
+
+            matbus.save_cfar_mat(
+                matbus.mat_frame_path(args.output, frame_idx), np.asarray(flags)
+            )
+        else:
+            save_frame(
+                args.output, frame_idx,
+                {
+                    "flags": np.asarray(flags),
+                    "vflags": np.asarray(vflags),
+                    "det_v": np.asarray(dets.v_idx),
+                    "det_r": np.asarray(dets.r_idx),
+                    "det_amp": np.asarray(dets.amplitude),
+                    "det_valid": np.asarray(dets.valid),
+                },
+                profile, meta={"threshold": args.threshold},
+            )
         done += 1
     log.info("detect done (%d frames)\n%s", done, timers.report())
     return 0
@@ -301,8 +364,8 @@ def cmd_analyze(args) -> int:
     import os
 
     os.makedirs(args.output, exist_ok=True)
-    arrays, profile, meta = load_frame(args.input, args.frame)
-    rdm = np.asarray(arrays["rdm"])
+    rdm, profile, meta = _load_rdms(args.input, args.frame, PROFILES[args.profile])
+    rdm = np.asarray(rdm)
     if rdm.ndim == 4:
         rdm = rdm[args.beam, args.win_slice]
     out = plot_mtd_dashboard(
@@ -416,6 +479,9 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--dbf-coeffs", default=None)
     ing.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
     ing.add_argument("--max-retries", type=int, default=1000)
+    ing.add_argument("--format", default="npz", choices=("npz", "mat"),
+                     help="artifact format; 'mat' writes the reference's "
+                          "frame_N.mat bus (sig_data_DBF_allprts)")
     ing.add_argument("--force", action="store_true")
     ing.set_defaults(fn=cmd_ingest)
 
@@ -425,6 +491,9 @@ def build_parser() -> argparse.ArgumentParser:
     mtd.add_argument("--profile", default="G2", choices=PROFILES)
     mtd.add_argument("--frames", type=int, default=10)
     mtd.add_argument("--win-size", type=int, default=4)
+    mtd.add_argument("--format", default="npz", choices=("npz", "mat"),
+                     help="'mat' writes MTD_win_all_beams cell arrays; "
+                          "inputs auto-detect npz or mat")
     mtd.add_argument("--force", action="store_true")
     mtd.set_defaults(fn=cmd_mtd)
 
@@ -436,6 +505,9 @@ def build_parser() -> argparse.ArgumentParser:
     det.add_argument("--threshold", type=float, default=5.0)
     det.add_argument("--clutter-v", type=float, default=3.0)
     det.add_argument("--max-detections", type=int, default=64)
+    det.add_argument("--format", default="npz", choices=("npz", "mat"),
+                     help="'mat' writes cfarFlag_win_{beam} variables; "
+                          "inputs auto-detect npz or mat")
     det.add_argument("--force", action="store_true")
     det.set_defaults(fn=cmd_detect)
 
@@ -467,6 +539,7 @@ def build_parser() -> argparse.ArgumentParser:
     ana = sub.add_parser("analyze", help="render RDM dashboards from manifests")
     ana.add_argument("--input", required=True)
     ana.add_argument("--output", required=True)
+    ana.add_argument("--profile", default="G2", choices=PROFILES)
     ana.add_argument("--frame", type=int, default=0)
     ana.add_argument("--beam", type=int, default=0)
     ana.add_argument("--win-slice", type=int, default=0)
