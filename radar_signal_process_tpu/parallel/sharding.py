@@ -56,6 +56,28 @@ def _global_col_index(local_n: int, halo: int, axis_name: str) -> jnp.ndarray:
     return shard * local_n + jnp.arange(-halo, local_n + halo)
 
 
+def _segment_bounds(
+    gidx: jnp.ndarray,
+    segments: Tuple[Tuple[int, int], ...],
+    n_global: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-column half-open bounds of the enclosing pulse segment.
+
+    The reference runs CFAR independently per pulse-type segment
+    (``main_cfar.m:142-161``), so reference windows and cascade candidates
+    must never cross a segment boundary.  Columns outside every segment
+    (wrapped global-edge halo) keep the full-width default; their validity
+    is settled by the center-column checks downstream.
+    """
+    lo = jnp.zeros_like(gidx)
+    hi = jnp.full_like(gidx, n_global)
+    for start, stop in segments:
+        inside = (gidx >= start) & (gidx < stop)
+        lo = jnp.where(inside, start, lo)
+        hi = jnp.where(inside, stop, hi)
+    return lo, hi
+
+
 def _rolled_ref_level(
     ext: jnp.ndarray,
     gidx: jnp.ndarray,
@@ -63,16 +85,25 @@ def _rolled_ref_level(
     ref_cells: int,
     guard_cells: int,
     method: int,
+    bounds: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """GO/SO reference level on an extended block with global-index validity."""
+    """GO/SO reference level on an extended block with global-index validity.
+
+    ``bounds`` supplies per-column (lo, hi) segment bounds; window validity
+    requires the whole reference window inside the column's own segment —
+    identical values to running the unsharded CFAR on that segment alone
+    (the running sum consumes the same columns in the same order wherever
+    the window is valid, and invalid sides fall back identically).
+    """
     r, g = ref_cells, guard_cells
+    lo, hi = bounds if bounds is not None else (0, n_global)
     acc = ext
     for k in range(1, r):
         acc = acc + jnp.roll(ext, k, axis=-1)
     left_mean = jnp.roll(acc, g + 1, axis=-1) / r
     right_mean = jnp.roll(acc, -(g + r), axis=-1) / r
-    left_valid = gidx - (g + r) >= 0
-    right_valid = gidx + (g + r) <= n_global - 1
+    left_valid = gidx - (g + r) >= lo
+    right_valid = gidx + (g + r) <= hi - 1
     left_used = jnp.where(left_valid, left_mean, right_mean)
     right_used = jnp.where(right_valid, right_mean, left_mean)
     if method == 0:
@@ -103,11 +134,17 @@ def sharded_cascaded_cfar2d(
     n_clutter: int,
     axis_name: str,
     n_global: int,
+    segments: Tuple[Tuple[int, int], ...] = (),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Range-sharded cascaded 2-D CFAR, bit-identical to ``cascaded_cfar2d``.
+    """Range-sharded cascaded 2-D CFAR, bit-identical to the unsharded op.
 
     ``rdm_local``: (..., n_velocity, local_range).  The velocity axis is
-    unsharded (local); only the range axis is distributed.
+    unsharded (local); only the range axis is distributed.  With
+    ``segments`` (global half-open column ranges, the reference's
+    pulse-type split) the result matches ``ops.cfar.segmented_cfar``:
+    reference windows and cascade candidates are confined to each column's
+    own segment via per-column validity bounds — no re-slicing, so shard
+    boundaries never need to align with segment boundaries.
     """
     nv = rdm_local.shape[-2]
     local_n = rdm_local.shape[-1]
@@ -118,6 +155,7 @@ def sharded_cascaded_cfar2d(
     h = r + g + 2 * e
     ext = halo_exchange(used, h, axis_name)
     gidx = _global_col_index(local_n, h, axis_name)
+    bounds = _segment_bounds(gidx, segments, n_global)
 
     # velocity-dim CFAR: along the local (unsharded) velocity axis, computed
     # for the extended block so neighbor-shard winners are visible.
@@ -130,18 +168,19 @@ def sharded_cascaded_cfar2d(
         return vflags, vflags
 
     # dense range-dim CFAR on the extended block
-    ref_r = _rolled_ref_level(ext, gidx, n_global, r, g, cfg.method)
+    ref_r = _rolled_ref_level(ext, gidx, n_global, r, g, cfg.method, bounds)
     rflag_ext = ext >= ref_r * cfg.threshold
 
-    # candidate search around every cell
+    # candidate search around every cell: candidates must stay inside the
+    # center cell's segment
     neg_inf = jnp.asarray(-jnp.inf, dtype=ext.dtype)
-    in_bounds = (gidx >= 0) & (gidx <= n_global - 1)
+    seg_lo, seg_hi = bounds
     offsets = list(range(-e, e + 1))
     cand = []
     for d in offsets:
         flag_d = jnp.roll(rflag_ext, -d, axis=-1)
         val_d = jnp.roll(ext, -d, axis=-1)
-        inb_d = jnp.roll(in_bounds, -d)
+        inb_d = (gidx + d >= seg_lo) & (gidx + d <= seg_hi - 1)
         cand.append(jnp.where(flag_d & inb_d, val_d, neg_inf))
     stacked = jnp.stack(cand, axis=-1)
     best = jnp.argmax(stacked, axis=-1)
@@ -185,6 +224,7 @@ def make_sharded_pipeline(
     n_clutter: int = 14,
     dp_axis: str = "dp",
     sp_axis: str = "sp",
+    segmented: bool = True,
 ):
     """Full sharded processing step: echo -> RDM -> CFAR flags over a 2-D mesh.
 
@@ -196,10 +236,18 @@ def make_sharded_pipeline(
     Input ``echo``: (n_beams, n_pulses, n_points) complex, n_beams divisible
     by mesh["dp"], n_pulses and n_points divisible by mesh["sp"].
     Returns (rdm, flags, vflags) with the same layout as the unsharded path.
+
+    With ``segmented`` (default) the CFAR honors the profile's pulse-type
+    segment split exactly like ``ops.cfar.segmented_cfar``; segments are
+    dropped automatically when the profile's table does not tile the actual
+    range extent (e.g. truncated dry-run geometries).
     """
     cfg = cfg or profile.cfar
     pulses = reference_pulses(profile)
     n_sp = mesh.shape[sp_axis]
+    segments = profile.cfar_segments if segmented else ()
+    if segments and segments[-1][1] != profile.point_prt:
+        segments = ()
 
     def step(echo_local: jnp.ndarray):
         # echo_local: (beams_local, prt_local, n_points)
@@ -214,7 +262,7 @@ def make_sharded_pipeline(
         if profile.mtd.notch_divisor:
             rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
         flags, vflags = sharded_cascaded_cfar2d(
-            rdm, cfg, n_clutter, sp_axis, n_points
+            rdm, cfg, n_clutter, sp_axis, n_points, segments
         )
         return rdm, flags, vflags
 

@@ -8,7 +8,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
 from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
-from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d, cfar1d_ref_level
+from radar_signal_process_tpu.ops.cfar import (
+    cascaded_cfar2d,
+    cfar1d_ref_level,
+    segmented_cfar,
+)
 from radar_signal_process_tpu.parallel import make_mesh
 from radar_signal_process_tpu.parallel.sharding import (
     make_sharded_pipeline,
@@ -64,6 +68,35 @@ def test_sharded_cascade_matches_unsharded(rng, mesh):
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
 
 
+def test_sharded_segmented_cascade_matches_unsharded(rng, mesh):
+    """Per-pulse-segment CFAR with shard boundaries that do NOT align with
+    the segment boundaries: per-column validity bounds must confine every
+    reference window and cascade candidate to its own segment."""
+    nv, nr = 96, 160
+    segments = ((0, 24), (24, 88), (88, 160))  # shard width is 40
+    rdm = np.abs(rng.standard_normal((nv, nr))) + 0.5
+    for _ in range(10):
+        rdm[rng.integers(8, nv - 8), rng.integers(0, nr)] += 40.0
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    n_clutter = 6
+
+    want_f, want_v = segmented_cfar(jnp.asarray(rdm), segments, cfg, n_clutter)
+
+    def local(x):
+        return sharded_cascaded_cfar2d(x, cfg, n_clutter, "sp", nr, segments)
+
+    got_f, got_v = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(None, "sp"),
+            out_specs=(P(None, "sp"), P(None, "sp")),
+        )
+    )(jnp.asarray(rdm))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
 def test_sharded_pipeline_matches_unsharded(rng, mesh):
     """Full step: PRT-sharded PC -> all_to_all -> range-sharded MTD+CFAR."""
     prof = G2_PROFILE
@@ -83,7 +116,8 @@ def test_sharded_pipeline_matches_unsharded(rng, mesh):
     rdm_s, flags_s, vflags_s = run(x)
 
     rdm_u = mtd_produce(jnp.asarray(echo), prof)
-    flags_u, vflags_u = cascaded_cfar2d(rdm_u, cfg, n_clutter)
+    # the pipeline honors the reference's per-pulse-segment CFAR split
+    flags_u, vflags_u = segmented_cfar(rdm_u, prof.cfar_segments, cfg, n_clutter)
 
     np.testing.assert_allclose(np.asarray(rdm_s), np.asarray(rdm_u), rtol=1e-9, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(vflags_s), np.asarray(vflags_u))
