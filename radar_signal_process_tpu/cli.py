@@ -450,6 +450,60 @@ def cmd_dmx(args) -> int:
             r for f in frames_out for r in f["long"]["range_m"]
         ])
         out["gps_range_residuals"] = compare_estimates(fr, rr, gi, track.range_m)
+
+    if args.save_results:
+        # result-struct persistence with full config echo, the reference's
+        # resultData_<clock>.mat save (DMX_SignalProcessing_main_xzr.m:603-612)
+        import dataclasses as dc
+        import os
+        import time as _time
+
+        import scipy.io as sio
+
+        def _series(key, name):
+            return np.asarray(
+                [x for f in frames_out for x in f[name][key]], dtype=np.float64
+            )
+
+        def _frames(name):
+            return np.asarray(
+                [f["frame"] for f in frames_out for _ in f[name]["range_m"]],
+                dtype=np.float64,
+            )
+
+        payload = {
+            "orgDataFilePath": args.input,
+            "frameS": float(args.frame_start),
+            "frameE": float(args.frame_start + args.frames - 1),
+            "framesProcessTotal": float(args.frames),
+            "freqInd": float(args.freq_index),
+            "beamPosNum": float(args.beam_pos),
+            "angleCodeSeries": np.asarray(
+                [f["azimuth_deg"] for f in frames_out], dtype=np.float64
+            ),
+            "resultEst_Struct": {
+                name: {
+                    "frame": _frames(name),
+                    "rEst": _series("range_m", name),
+                    "vEst": _series("velocity_ms", name),
+                    "eleEst": _series("elevation_deg", name),
+                }
+                for name in ("short", "long")
+            },
+        }
+        # config echo: every chain parameter, exactly as the reference saves
+        # its winType/MTD_V/refCells/interp/sys-err knobs alongside results
+        payload.update(
+            {k: (v if isinstance(v, str) else float(v))
+             for k, v in dc.asdict(chain.chain).items()}
+        )
+        os.makedirs(args.save_results, exist_ok=True)
+        stamp = _time.strftime("%Y%m%d_%H%M%S")
+        path = os.path.join(args.save_results, f"resultData_{stamp}.mat")
+        sio.savemat(path, payload, do_compression=True)
+        out["result_mat"] = path
+        log.info("saved result struct to %s", path)
+
     print(json.dumps(out))
     log.info("dmx timing\n%s", timers.report())
     return 0
@@ -534,6 +588,9 @@ def build_parser() -> argparse.ArgumentParser:
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)
     dmx.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    dmx.add_argument("--save-results", default=None, metavar="DIR",
+                     help="write resultData_<clock>.mat with the full config "
+                          "echo (DMX_SignalProcessing_main_xzr.m:603-612)")
     dmx.set_defaults(fn=cmd_dmx)
 
     ana = sub.add_parser("analyze", help="render RDM dashboards from manifests")

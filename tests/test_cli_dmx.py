@@ -62,3 +62,34 @@ def test_dmx_cli_end_to_end(tmp_path, rng, capsys):
     rngs = frame["long"]["range_m"]
     assert any(abs(v - v_expected) < 0.3 for v in vels), (vels, v_expected)
     assert any(abs(r - r_expected) < 2 * prof.delta_r for r in rngs)
+
+
+def test_dmx_cli_save_results(tmp_path, rng, capsys):
+    """--save-results writes resultData_<clock>.mat with the config echo
+    (DMX_SignalProcessing_main_xzr.m:603-612)."""
+    import scipy.io as sio
+
+    prof = G0_PROFILE
+    chain_cfg = G0ChainConfig()
+    fd = -60 * prof.prf / chain_cfg.mtd_fft_length
+    _g0_capture(tmp_path, rng, fd, 100)
+    results_dir = tmp_path / "results"
+
+    assert cli.main([
+        "dmx", "--input", str(tmp_path), "--frames", "1",
+        "--freq-index", "5", "--beam-pos", "2",
+        "--save-results", str(results_dir),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    m = sio.loadmat(out["result_mat"], squeeze_me=True)
+    # config echo present (window type, CFAR-era knobs, interp factors)
+    assert m["pc_window"] == "kaiser"
+    assert m["mtd_fft_length"] == chain_cfg.mtd_fft_length
+    assert m["r_interp_times"] == chain_cfg.r_interp_times
+    assert str(m["orgDataFilePath"]) == str(tmp_path)
+    # estimate series match the JSON output
+    est = m["resultEst_Struct"]["long"].item()
+    vels = np.atleast_1d(est["vEst"].item())
+    assert sorted(np.round(vels, 6)) == sorted(
+        np.round(out["frames"][0]["long"]["velocity_ms"], 6).tolist()
+    )
