@@ -135,24 +135,57 @@ def cascaded_cfar2d(
     )
 
     # For each velocity hit at (v, r): candidate range cells r + d for
-    # d in [-range_extend_cells .. +range_extend_cells] (in-bounds only);
-    # among candidates whose dense range flag is set, keep the one with the
-    # largest amplitude (first on ties, matching MATLAB max()).  Running
-    # best-value/best-offset update (strict ``>`` keeps the first maximum)
-    # instead of stack+argmax: the (..., V', R, n_offsets) stack materializes
-    # n_offsets RDM copies on CPU (measured 20% of the whole cascade); this
-    # is also the same selection form the fused Pallas kernel uses.
-    nr = used.shape[-1]
+    # d in [-range_extend_cells .. +range_extend_cells] (in-bounds only —
+    # the edge fill of ``_shift_range(flag, d, fill=False)`` IS the
+    # in-bounds condition, so no separate validity mask is needed); among
+    # candidates whose dense range flag is set, keep the one with the
+    # largest amplitude (first on ties, matching MATLAB max()).
     ext = cfg.range_extend_cells
     neg_inf = jnp.asarray(-jnp.inf, dtype=used.dtype)
 
+    if ext == 1:
+        # Branch-free form for the reference's +-1-cell neighborhood: the
+        # loop-carried best-value/best-offset arrays below materialize at
+        # every iteration (XLA cannot fuse across them — measured ~5x the
+        # cost of the cfar1d passes on CPU); here the masked candidate
+        # values and the first-maximum priority (-1 beats 0 beats +1 on
+        # ties, i.e. ``>=`` toward earlier offsets) fuse into one
+        # elementwise chain per shift.  Selection is discrete logic on the
+        # same operands, so results are bit-identical to the loop form.
+        m_m1 = jnp.where(
+            _shift_range(rflag_dense, -1, fill=False),
+            _shift_range(used, -1, fill=0.0),
+            neg_inf,
+        )
+        m_0 = jnp.where(rflag_dense, used, neg_inf)
+        m_p1 = jnp.where(
+            _shift_range(rflag_dense, 1, fill=False),
+            _shift_range(used, 1, fill=0.0),
+            neg_inf,
+        )
+        any_flag = (m_m1 > neg_inf) | (m_0 > neg_inf) | (m_p1 > neg_inf)
+        winner = vflag_used & any_flag
+        take_m1 = (m_m1 > neg_inf) & (m_m1 >= m_0) & (m_m1 >= m_p1)
+        take_0 = ~take_m1 & (m_0 > neg_inf) & (m_0 >= m_p1)
+        take_p1 = ~take_m1 & ~take_0 & (m_p1 > neg_inf)
+        cascade_used = (
+            _shift_range(winner & take_m1, 1, fill=False)
+            | (winner & take_0)
+            | _shift_range(winner & take_p1, -1, fill=False)
+        )
+        flags = jnp.zeros(rdm.shape, dtype=bool)
+        flags = flags.at[..., lo:hi, :].set(cascade_used)
+        return flags, vflags
+
+    # General neighborhood: running best-value/best-offset update (strict
+    # ``>`` keeps the first maximum), same selection form as the fused
+    # Pallas kernel.
     best_val = jnp.full(used.shape, -jnp.inf, dtype=used.dtype)
     best_off = jnp.zeros(used.shape, dtype=jnp.int32)
     for d in range(-ext, ext + 1):
         shifted_flag = _shift_range(rflag_dense, d, fill=False)
         shifted_val = _shift_range(used, d, fill=0.0)
-        valid = _inbounds_mask(nr, d, used.dtype)
-        val = jnp.where(shifted_flag & (valid > 0), shifted_val, neg_inf)
+        val = jnp.where(shifted_flag, shifted_val, neg_inf)
         take = val > best_val
         best_val = jnp.where(take, val, best_val)
         best_off = jnp.where(take, jnp.int32(d), best_off)
@@ -178,11 +211,6 @@ def _shift_range(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
     if d > 0:
         return jnp.concatenate([x[..., d:], fill_arr], axis=-1)
     return jnp.concatenate([fill_arr, x[..., :d]], axis=-1)
-
-
-def _inbounds_mask(n: int, d: int, dtype) -> jnp.ndarray:
-    idx = np.arange(n) + d
-    return jnp.asarray(((idx >= 0) & (idx < n)).astype(np.float32))
 
 
 def segmented_cfar(
