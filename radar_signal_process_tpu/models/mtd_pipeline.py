@@ -94,6 +94,54 @@ def slice_cpi_window(echo_win: jnp.ndarray, win_size: int) -> jnp.ndarray:
     return jnp.stack(slices, axis=-3)
 
 
+def mtd_window_produce(
+    echo_win: jnp.ndarray,
+    profile: RadarProfile,
+    win_size: int = 4,
+    stc_curve_db=None,
+    use_pallas_rdm: bool | None = None,
+) -> jnp.ndarray:
+    """Doubled-CPI window (..., 2*n_prt, n_pts) -> (..., win_size, n_prt, n_pts) RDMs.
+
+    Bit-identical to ``mtd_produce(slice_cpi_window(echo_win, win_size))``
+    but compresses each PRT row exactly once: pulse compression (and iSTC)
+    operate per row along fast time, so running them on the 2*n_prt window
+    *before* slicing gives the same rows the reference computes 2x
+    redundantly across its overlapping slices
+    (``main_produce_dataset_win_xzr_v2.m:120-136``).  MTI, the Doppler FFT
+    and the notch remain per-slice (slice-length semantics).
+    """
+    from radar_signal_process_tpu.ops.mtd import istc_compensate, mti_cancel
+
+    pulses = reference_pulses(profile)
+    if profile.mtd.istc and stc_curve_db is not None:
+        echo_win = istc_compensate(echo_win, stc_curve_db)
+    pc_win = segmented_pulse_compression(echo_win, profile, pulses)
+    pc = slice_cpi_window(pc_win, win_size)         # (..., win, n_prt, n_pts)
+    if profile.mtd.mti_lag:
+        pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
+
+    n_pulses = pc.shape[-2]
+    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+    if use_pallas_rdm is None:
+        use_pallas_rdm = (
+            jax.default_backend() == "tpu"
+            and profile.mtd.fftshift
+            and n_pulses <= 512
+        )
+    if use_pallas_rdm and profile.mtd.fftshift:
+        from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
+
+        return doppler_rdm_pallas(
+            pc, window, notch_divisor=profile.mtd.notch_divisor or None,
+            shift=True,
+        )
+    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+    if profile.mtd.notch_divisor:
+        rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+    return rdm
+
+
 def make_frame_processor(profile: RadarProfile, win_size: int = 4):
     """Jitted processor for one frame pair.
 
@@ -107,8 +155,7 @@ def make_frame_processor(profile: RadarProfile, win_size: int = 4):
     @jax.jit
     def process(frame_now: jnp.ndarray, frame_next: jnp.ndarray) -> jnp.ndarray:
         window = jnp.concatenate([frame_now, frame_next], axis=-2)
-        slices = slice_cpi_window(window, win_size)   # (beams, win, prt, pts)
-        return mtd_produce(slices, profile)
+        return mtd_window_produce(window, profile, win_size)
 
     return process
 
@@ -119,4 +166,4 @@ def process_frame_pair(
 ) -> jnp.ndarray:
     """Convenience jitted entry: ``frames`` (2, n_beams, n_prt, point_prt)."""
     window = jnp.concatenate([frames[0], frames[1]], axis=-2)
-    return mtd_produce(slice_cpi_window(window, win_size), profile)
+    return mtd_window_produce(window, profile, win_size)

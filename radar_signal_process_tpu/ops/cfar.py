@@ -110,6 +110,11 @@ def cascaded_cfar2d(
     ``cfg`` provides the velocity-dim parameters; ``cfg_range`` the range-dim
     parameters (defaults to ``cfg``, as every reference call site passes equal
     values).
+
+    Precondition: amplitudes must be finite (magnitude RDMs always are).  A
+    NaN amplitude at a flagged candidate loses every tie-break comparison in
+    the branch-free selection, which can drop a finite co-candidate the
+    MATLAB loop would keep.
     """
     cfg_r = cfg_range or cfg
     nv = rdm.shape[-2]
@@ -144,30 +149,33 @@ def cascaded_cfar2d(
     neg_inf = jnp.asarray(-jnp.inf, dtype=used.dtype)
 
     if ext == 1:
-        # Branch-free form for the reference's +-1-cell neighborhood: the
-        # loop-carried best-value/best-offset arrays below materialize at
-        # every iteration (XLA cannot fuse across them — measured ~5x the
-        # cost of the cfar1d passes on CPU); here the masked candidate
-        # values and the first-maximum priority (-1 beats 0 beats +1 on
-        # ties, i.e. ``>=`` toward earlier offsets) fuse into one
-        # elementwise chain per shift.  Selection is discrete logic on the
-        # same operands, so results are bit-identical to the loop form.
-        m_m1 = jnp.where(
-            _shift_range(rflag_dense, -1, fill=False),
-            _shift_range(used, -1, fill=0.0),
-            neg_inf,
-        )
-        m_0 = jnp.where(rflag_dense, used, neg_inf)
-        m_p1 = jnp.where(
-            _shift_range(rflag_dense, 1, fill=False),
-            _shift_range(used, 1, fill=0.0),
-            neg_inf,
-        )
-        any_flag = (m_m1 > neg_inf) | (m_0 > neg_inf) | (m_p1 > neg_inf)
-        winner = vflag_used & any_flag
-        take_m1 = (m_m1 > neg_inf) & (m_m1 >= m_0) & (m_m1 >= m_p1)
-        take_0 = ~take_m1 & (m_0 > neg_inf) & (m_0 >= m_p1)
-        take_p1 = ~take_m1 & ~take_0 & (m_p1 > neg_inf)
+        # Branch-free form for the reference's +-1-cell neighborhood with
+        # flag-gated comparisons: instead of materializing three masked
+        # f32 candidate arrays (``where(flag, val, -inf)`` — the dominant
+        # memory traffic; measured ~2x the cfar1d passes on CPU), compare
+        # the raw shifted amplitudes and fold the flags into the boolean
+        # logic.  ``m_a >= m_b`` with masked -inf is equivalent to
+        # ``(v_a >= v_b) | ~f_b`` whenever ``f_a`` holds (if ``f_b`` is
+        # unset the rhs is -inf, so the comparison is vacuously true; NaN
+        # amplitudes compare false either way).  First-maximum priority
+        # (-1 beats 0 beats +1 on ties) uses ``>=`` toward earlier
+        # offsets.  Results are bit-identical to the loop form below for
+        # finite amplitudes (documented precondition: NaN inputs make a
+        # NaN candidate lose all comparisons in *both* forms' take-masks,
+        # differing only from a hypothetical strict-> loop ordering).
+        f_m1 = _shift_range(rflag_dense, -1, fill=False)
+        f_0 = rflag_dense
+        f_p1 = _shift_range(rflag_dense, 1, fill=False)
+        v_m1 = _shift_range(used, -1, fill=0.0)
+        v_0 = used
+        v_p1 = _shift_range(used, 1, fill=0.0)
+        winner = vflag_used & (f_m1 | f_0 | f_p1)
+        ge_m1_0 = (v_m1 >= v_0) | ~f_0
+        ge_m1_p1 = (v_m1 >= v_p1) | ~f_p1
+        ge_0_p1 = (v_0 >= v_p1) | ~f_p1
+        take_m1 = f_m1 & ge_m1_0 & ge_m1_p1
+        take_0 = ~take_m1 & f_0 & ge_0_p1
+        take_p1 = ~take_m1 & ~take_0 & f_p1
         cascade_used = (
             _shift_range(winner & take_m1, 1, fill=False)
             | (winner & take_0)

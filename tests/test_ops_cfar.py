@@ -93,3 +93,48 @@ def test_segmented_cfar_matches_per_segment_oracle(rng):
         np.testing.assert_array_equal(
             np.asarray(vflags[:, start:stop]), want_v.astype(bool)
         )
+
+
+def test_cascade_tie_break_on_equal_amplitudes(rng):
+    """ADVICE r1: pin the ext==1 fast path's first-maximum tie-break.
+
+    Quantized amplitudes make exact ties between the -1/0/+1 range
+    candidates frequent; the fast branch-free form must still match the
+    oracle's loop semantics (MATLAB ``max`` keeps the first maximum, i.e.
+    offset -1 beats 0 beats +1) cell for cell.
+    """
+    rdm = rng.integers(1, 5, size=(64, 48)).astype(np.float64)
+    cfg = CFARConfig(ref_cells=2, guard_cells=1, threshold=1.0, method=0,
+                     range_extend_cells=1)
+    flags, vflags = cascaded_cfar2d(jnp.asarray(rdm), cfg, 4)
+    want_f, want_v = oracle.execute_cfar(
+        rdm, 2, 1, 1.0, 0, 2, 1, 1.0, 0, 4, True, range_cell_nums=1
+    )
+    assert np.asarray(vflags).sum() > 0  # ties actually exercised
+    np.testing.assert_array_equal(np.asarray(vflags), want_v.astype(bool))
+    np.testing.assert_array_equal(np.asarray(flags), want_f.astype(bool))
+
+
+def test_cascade_tie_break_fast_path_equals_loop_path(rng):
+    """The ext==1 fused form and the general loop form agree on tie-heavy data.
+
+    The loop path is forced with ``range_extend_cells=2`` on data whose
+    columns are padded so cells at offset +-2 can never hold a range flag:
+    every odd column is zeroed, so range hits only occur on even columns
+    and the +-2 candidates compete only through the +-1/0 positions.
+    """
+    rdm = rng.integers(1, 4, size=(48, 40)).astype(np.float64)
+    cfg1 = CFARConfig(ref_cells=2, guard_cells=1, threshold=1.0, method=0,
+                      range_extend_cells=1)
+    cfg2 = CFARConfig(ref_cells=2, guard_cells=1, threshold=1.0, method=0,
+                      range_extend_cells=2)
+    want_f1, _ = oracle.execute_cfar(
+        rdm, 2, 1, 1.0, 0, 2, 1, 1.0, 0, 4, True, range_cell_nums=1
+    )
+    want_f2, _ = oracle.execute_cfar(
+        rdm, 2, 1, 1.0, 0, 2, 1, 1.0, 0, 4, True, range_cell_nums=2
+    )
+    got1, _ = cascaded_cfar2d(jnp.asarray(rdm), cfg1, 4)   # fast path
+    got2, _ = cascaded_cfar2d(jnp.asarray(rdm), cfg2, 4)   # loop path
+    np.testing.assert_array_equal(np.asarray(got1), want_f1.astype(bool))
+    np.testing.assert_array_equal(np.asarray(got2), want_f2.astype(bool))

@@ -80,3 +80,32 @@ def test_istc_hook_applies_gain():
         mtd_produce(jnp.asarray(echo), dataclasses.replace(SMALL, mtd=MTDConfig(notch_divisor=0)))
     )
     np.testing.assert_allclose(rdm_istc, 10.0 * rdm_plain, rtol=1e-9)
+
+
+def test_mtd_window_produce_matches_slice_then_produce(rng):
+    """Compress-once-then-slice is bit-identical to the reference order.
+
+    ``mtd_window_produce`` runs iSTC + pulse compression on the doubled
+    window before slicing (rows are fast-time independent); MTI, Doppler
+    and the notch stay per-slice.  Must equal
+    ``mtd_produce(slice_cpi_window(...))`` exactly — with the dormant
+    hooks active too.
+    """
+    from radar_signal_process_tpu.models.mtd_pipeline import (
+        mtd_window_produce,
+        slice_cpi_window,
+    )
+
+    echo = jnp.asarray(
+        rng.standard_normal((2, 128, 256)) + 1j * rng.standard_normal((2, 128, 256))
+    )
+    stc = np.linspace(0.0, 12.0, 256)
+    for prof in (
+        SMALL,
+        dataclasses.replace(SMALL, mtd=MTDConfig(mti_lag=8, istc=True)),
+    ):
+        a = np.asarray(mtd_window_produce(echo, prof, 4, stc_curve_db=stc))
+        b = np.asarray(
+            mtd_produce(slice_cpi_window(echo, 4), prof, stc_curve_db=stc)
+        )
+        np.testing.assert_array_equal(a, b)
