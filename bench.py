@@ -49,10 +49,27 @@ def _reexec_cpu(reason: str) -> None:
 
 
 def _claim_backend(wait_s: float) -> str:
-    """Initialize jax; retry axon registration while the TPU grant frees."""
+    """Initialize jax; retry axon registration while the TPU grant frees.
+
+    Handles the three backend situations seen across rounds: an axon relay
+    tunnel (retry registration until the single grant frees), a directly
+    attached TPU (jax auto-chooses it), and CPU-only.
+    """
     import jax
 
-    deadline = time.time() + wait_s
+    # sitecustomize removes its own dir from sys.path after running, so a
+    # failed/skipped registration leaves ``axon`` unimportable; restore it.
+    axon_site = os.environ.get("AXON_SITE", "/root/.axon_site")
+    if os.path.isdir(axon_site) and axon_site not in sys.path:
+        sys.path.insert(0, axon_site)
+    try:
+        import axon.register  # noqa: F401  (probe only)
+
+        have_axon = True
+    except ImportError:
+        have_axon = False
+
+    deadline = time.time() + (wait_s if have_axon else 0.0)
     while True:
         try:
             dev = jax.devices()[0]
@@ -60,8 +77,14 @@ def _claim_backend(wait_s: float) -> str:
         except RuntimeError:
             pass
         if time.time() > deadline:
-            jax.config.update("jax_platforms", "cpu")
-            return "cpu"
+            # no relay (or gave up waiting): let jax auto-choose an
+            # attached accelerator, else fall back to CPU
+            try:
+                jax.config.update("jax_platforms", "")
+                return jax.devices()[0].platform
+            except RuntimeError:
+                jax.config.update("jax_platforms", "cpu")
+                return "cpu"
         try:
             import uuid
 

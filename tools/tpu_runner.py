@@ -33,6 +33,13 @@ def _claim_devices():
 
     import jax
 
+    # sitecustomize removes its own dir from sys.path after running, so a
+    # failed/skipped registration leaves the ``axon`` module unimportable;
+    # put the site dir back before re-registering.
+    axon_site = os.environ.get("AXON_SITE", "/root/.axon_site")
+    if os.path.isdir(axon_site) and axon_site not in sys.path:
+        sys.path.insert(0, axon_site)
+
     for attempt in range(120):
         try:
             return jax.devices()
