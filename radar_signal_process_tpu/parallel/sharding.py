@@ -285,6 +285,98 @@ def make_sharded_pipeline(
     return run
 
 
+def make_sharded_e2e(
+    profile: RadarProfile,
+    mesh: Mesh,
+    dbf_coeffs,
+    cfg: CFARConfig | None = None,
+    n_clutter: int = 14,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+    tp_axis: str = "tp",
+    segmented: bool = True,
+):
+    """Raw-channel-cube -> detections over a 3-axis (dp, sp, tp) mesh.
+
+    The full production step from the ingest boundary on:
+
+    * **tp** (tensor parallel) shards the DBF contraction: each device holds
+      a channel subset of the raw I/Q and the matching coefficient columns,
+      computes its partial ``(..., samples, beams)`` product, and a
+      ``psum_scatter`` over the *beam* axis completes the sum while leaving
+      each tp member a distinct beam subset — the Megatron contract-dim
+      pattern (partial matmul + reduce-scatter), with the beam axis then
+      acting as extra data parallelism downstream;
+    * **dp** shards the frame batch;
+    * **sp** shards slow time through pulse compression, re-shards to range
+      via ``all_to_all``, and exchanges CFAR halos via ``ppermute``
+      (:func:`sharded_cascaded_cfar2d`).
+
+    Input ``iq``: (n_frames, n_prt, n_samples, n_channels) complex with
+    n_frames % dp == 0, n_prt % sp == 0, n_samples % sp == 0,
+    n_channels % tp == 0, and n_beams % tp == 0.
+    Returns ``(rdm, flags, vflags)`` shaped
+    (n_frames, n_beams, n_prt, n_samples), beam axis sharded over tp.
+    """
+    cfg = cfg or profile.cfar
+    pulses = reference_pulses(profile)
+    coeffs = jnp.asarray(dbf_coeffs)          # (n_beams, n_channels)
+    n_beams = coeffs.shape[0]
+    n_sp = mesh.shape[sp_axis]
+    n_tp = mesh.shape[tp_axis]
+    if n_beams % n_tp:
+        raise ValueError(f"n_beams {n_beams} not divisible by tp={n_tp}")
+    segments = profile.cfar_segments if segmented else ()
+
+    def step(iq_local: jnp.ndarray, coeffs_local: jnp.ndarray):
+        # iq_local: (frames_local, prt_local, samples, ch_local)
+        # coeffs_local: (n_beams, ch_local)
+        partial = jnp.einsum("fpsc,bc->fpsb", iq_local, coeffs_local)
+        if n_tp > 1:
+            # complete the channel sum; scatter the beam axis across tp
+            beams_local = lax.psum_scatter(
+                partial, tp_axis, scatter_dimension=3, tiled=True
+            )
+        else:
+            beams_local = partial
+        # (frames, prt, samples, beams_local) -> (frames, beams_local, prt, samples)
+        echo = jnp.moveaxis(beams_local, -1, 1)
+
+        n_points = echo.shape[-1]
+        pc = segmented_pulse_compression(echo, profile, pulses)
+        if n_sp > 1:
+            pc = lax.all_to_all(pc, sp_axis, split_axis=3, concat_axis=2,
+                                tiled=True)
+        n_pulses = pc.shape[-2]
+        window = make_window(profile.mtd.window, n_pulses,
+                             profile.mtd.window_beta)
+        rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        flags, vflags = sharded_cascaded_cfar2d(
+            rdm, cfg, n_clutter, sp_axis, n_points, segments
+        )
+        return rdm, flags, vflags
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(dp_axis, sp_axis, None, tp_axis), P(None, tp_axis)),
+        out_specs=(
+            P(dp_axis, tp_axis, None, sp_axis),
+            P(dp_axis, tp_axis, None, sp_axis),
+            P(dp_axis, tp_axis, None, sp_axis),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(iq: jnp.ndarray):
+        return mapped(iq, coeffs)
+
+    return run
+
+
 def shard_batch(mesh: Mesh, axis: str = "dp"):
     """NamedSharding placing the leading batch axis on ``axis``."""
     return NamedSharding(mesh, P(axis))

@@ -147,3 +147,50 @@ def test_multihost_helpers_single_process():
     assert a == [0, 1, 2, 3, 4, 5]
     assert b == [5, 6, 7, 8, 9]
     assert set(a) | set(b) == set(range(10))
+
+
+def test_sharded_e2e_tp_dbf_matches_unsharded(rng):
+    """3-axis mesh: tp-sharded DBF (psum_scatter) + sp pipeline vs unsharded.
+
+    The DBF contraction is split across tp devices, so the channel sum
+    order differs from the single einsum — RDMs compare with a tight
+    tolerance; CFAR flags must still agree exactly on this data.
+    """
+    import dataclasses
+
+    from radar_signal_process_tpu.ops.dbf import apply_dbf
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_e2e
+
+    mesh3 = make_mesh(("dp", "sp", "tp"), shape=(2, 2, 2))
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        n_channels=4, n_beams=4,
+    )
+    n_frames, n_prt, n_pts, n_ch = 2, 32, 344, 4
+    iq = (
+        rng.standard_normal((n_frames, n_prt, n_pts, n_ch))
+        + 1j * rng.standard_normal((n_frames, n_prt, n_pts, n_ch))
+    )
+    coeffs = (
+        rng.standard_normal((4, n_ch)) + 1j * rng.standard_normal((4, n_ch))
+    )
+    cfg = CFARConfig(ref_cells=3, guard_cells=4, threshold=5.0)
+
+    run = make_sharded_e2e(prof, mesh3, coeffs, cfg, n_clutter=4)
+    x = jax.device_put(
+        jnp.asarray(iq), NamedSharding(mesh3, P("dp", "sp", None, "tp"))
+    )
+    rdm_s, flags_s, vflags_s = run(x)
+
+    echo = jnp.moveaxis(apply_dbf(jnp.asarray(iq), jnp.asarray(coeffs)), -1, 1)
+    rdm_u = mtd_produce(echo, prof)
+    flags_u, vflags_u = segmented_cfar(rdm_u, prof.cfar_segments, cfg, 4)
+
+    assert rdm_s.shape == (n_frames, 4, n_prt, n_pts)
+    np.testing.assert_allclose(
+        np.asarray(rdm_s), np.asarray(rdm_u), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(vflags_s), np.asarray(vflags_u))
+    np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
