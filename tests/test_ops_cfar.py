@@ -114,6 +114,13 @@ def test_cascade_tie_break_on_equal_amplitudes(rng):
     np.testing.assert_array_equal(np.asarray(vflags), want_v.astype(bool))
     np.testing.assert_array_equal(np.asarray(flags), want_f.astype(bool))
 
+    # the fused Pallas kernel must make the same tie-break choices
+    from radar_signal_process_tpu.kernels.cfar_pallas import cascaded_cfar2d_pallas
+
+    pf, pv = cascaded_cfar2d_pallas(jnp.asarray(rdm, jnp.float32), cfg, 4)
+    np.testing.assert_array_equal(np.asarray(pv), want_v.astype(bool))
+    np.testing.assert_array_equal(np.asarray(pf), want_f.astype(bool))
+
 
 def test_cascade_tie_break_fast_path_equals_loop_path(rng):
     """The ext==1 fused form and the general loop form agree on tie-heavy data.
