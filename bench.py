@@ -208,7 +208,11 @@ def build_chain(beam_mapped: bool | None = None):
 
 
 def time_chain(chain, x, repeat: int, max_seconds: float = 30.0) -> float:
-    """Steady-state seconds per call (adaptive repeat, capped wall time)."""
+    """Steady-state seconds per call: median of adaptively-many timed calls.
+
+    The session CPU is shared, so single runs vary ~20%; the median of
+    per-call times (each awaited) is robust to scheduling-noise outliers.
+    """
     import jax
 
     jax.block_until_ready(chain(x))  # compile
@@ -216,14 +220,13 @@ def time_chain(chain, x, repeat: int, max_seconds: float = 30.0) -> float:
     jax.block_until_ready(chain(x))
     first = time.perf_counter() - t0
     repeat = max(1, min(repeat, int(max_seconds / max(first, 1e-9))))
-    if repeat == 1:
-        return first
-    t0 = time.perf_counter()
-    out = None
+    times = [first]
     for _ in range(repeat):
-        out = chain(x)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeat
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def timing_channel_works() -> bool:
@@ -299,11 +302,85 @@ def oracle_beam_slice_seconds(prof, echo_slice: np.ndarray, runs: int = 3) -> fl
     return times[len(times) // 2]
 
 
+def _bench_g0(repeat: int) -> float:
+    """G0 end-to-end chain (PC + 2048-pt MTD + CFAR + measurement) frames/s."""
+    import jax
+    import numpy as np
+
+    from radar_signal_process_tpu.config import G0_PROFILE
+    from radar_signal_process_tpu.models.g0_chain import G0Chain
+
+    prof = G0_PROFILE
+    chain = G0Chain(prof)
+    rng = np.random.default_rng(1)
+    shape = (prof.prt_per_frame, prof.point_prt)
+    left = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+    right = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+    jax.block_until_ready(chain.process_frame(left, right))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain.process_frame(left, right))
+    first = time.perf_counter() - t0
+    n = max(1, min(repeat, int(10.0 / max(first, 1e-9))))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = chain.process_frame(left, right)
+    jax.block_until_ready(out)
+    return n / (time.perf_counter() - t0)
+
+
+def _bench_ingest(n_frames: int = 4) -> float:
+    """Native C++ G2 capture parse throughput (MB/s, DDC int16 payloads)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.ingest import native_available
+    from radar_signal_process_tpu.sim.packets_synth import write_g2_capture
+
+    if native_available():
+        from radar_signal_process_tpu.ingest.native_loader import (
+            NativeG2FrameReader as Reader,
+        )
+    else:
+        from radar_signal_process_tpu.ingest.packets import G2FrameReader as Reader
+
+    prof = G2_PROFILE
+    rng = np.random.default_rng(2)
+    iq = rng.integers(
+        -2000, 2000, size=(n_frames, prof.prt_per_frame, prof.point_prt,
+                           prof.n_channels, 2)
+    ).astype(np.int16)
+    iq_c = iq[..., 0].astype(np.float32) + 1j * iq[..., 1].astype(np.float32)
+    tmp = tempfile.mkdtemp(prefix="rsp_bench_ingest_")
+    try:
+        write_g2_capture(tmp, iq_c, prof, data_type=1)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
+        )
+        reader = Reader(tmp, prof)
+        t0 = time.perf_counter()
+        for f in range(n_frames):
+            reader.read_frame(f)
+        dt = time.perf_counter() - t0
+        return total_bytes / dt / 1e6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=10)
     ap.add_argument("--wait-tpu-s", type=float, default=600.0)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--skip-extras", action="store_true",
+                    help="skip the G0-chain and native-ingest extra metrics")
     ap.add_argument("--stages", action="store_true",
                     help="also report per-stage PC/MTD/CFAR times")
     ap.add_argument("--oracle-seconds", type=float, default=None,
@@ -384,6 +461,17 @@ def main() -> int:
     samples_per_frame = prof.n_beams * 4 * prof.prt_per_frame * prof.point_prt
     msamp_per_s = samples_per_frame * frames_per_s / 1e6
 
+    extras = {}
+    if not args.skip_extras:
+        try:
+            extras["g0_frames_per_s"] = round(_bench_g0(args.repeat), 2)
+        except Exception as e:  # never let an extra sink the headline metric
+            extras["g0_error"] = str(e)[:120]
+        try:
+            extras["ingest_mb_per_s"] = round(_bench_ingest(), 1)
+        except Exception as e:
+            extras["ingest_error"] = str(e)[:120]
+
     if args.oracle_seconds is not None:
         oracle_slice_s = args.oracle_seconds
     elif not args.skip_oracle:
@@ -403,6 +491,7 @@ def main() -> int:
         "frame_ms": round(frame_s * 1e3, 2),
         "pc_msamples_per_s": round(msamp_per_s, 1),
         **stage_ms,
+        **extras,
     }
     if oracle_slice_s is not None:
         oracle_frame_s = oracle_slice_s * prof.n_beams * 4
