@@ -9,11 +9,20 @@ magnitude + notch in VMEM before anything returns to HBM — one fused pass,
 complex arithmetic carried as separate re/im float32 planes (Mosaic has no
 complex dtype).
 
+The DFT plane is tiled over Doppler output rows, so any CPI length fits the
+Mosaic VMEM budget (block bytes x 2 double-buffered copies, kept under
+~12 MB — see CLAUDE.md); zero-padded transforms (``n_fft > n_pulses``, the
+G0 chain's 1536 -> 2048-point MTD FFT, ``DMX_SignalProcessing_main_xzr.m:
+120,413-418``) fold the padding into a rectangular plane instead of moving
+padded zeros.
+
 Bit-parity with ``ops.mtd.doppler_process(use_matmul=True)`` +
 ``zero_velocity_notch`` is checked in ``tests/test_kernels.py``.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,10 +31,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radar_signal_process_tpu.config import matlab_round
-from radar_signal_process_tpu.ops.mtd import _dft_matrix
+
+VMEM_BLOCK_BUDGET = 12 * 1024 * 1024  # double-buffered block bytes (CLAUDE.md)
 
 
-def _make_rdm_kernel(notch_lo: int, notch_hi: int):
+@functools.lru_cache(maxsize=None)
+def _dft_matrix_rect(n_fft: int, n: int, shift: bool, window_key) -> np.ndarray:
+    """(n_fft, n) windowed DFT plane: zero-padding folded into the shape."""
+    k = np.arange(n_fft)[:, None]
+    m = np.arange(n)[None, :]
+    w_mat = np.exp(-2j * np.pi * k * m / n_fft)
+    if shift:
+        w_mat = np.fft.fftshift(w_mat, axes=0)
+    if window_key is not None:
+        w_mat = w_mat * np.asarray(window_key)[None, :]
+    return w_mat
+
+
+def _make_rdm_kernel(notch_lo: int, notch_hi: int, tile_k: int):
     """Kernel closure (scalar constants baked; see cfar_pallas notes)."""
 
     def kernel(wre_ref, wim_ref, xre_ref, xim_ref, out_ref):
@@ -39,7 +62,8 @@ def _make_rdm_kernel(notch_lo: int, notch_hi: int):
         )
         mag = jnp.sqrt(sre * sre + sim * sim)
         if notch_hi >= notch_lo:
-            row = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
+            k0 = pl.program_id(1) * tile_k
+            row = k0 + jax.lax.broadcasted_iota(jnp.int32, mag.shape, 0)
             keep = (row < notch_lo) | (row > notch_hi)
             mag = jnp.where(keep, mag, jnp.float32(0.0))
         out_ref[0] = mag
@@ -47,35 +71,52 @@ def _make_rdm_kernel(notch_lo: int, notch_hi: int):
     return kernel
 
 
+def _auto_tile(n: int, n_fft: int) -> int:
+    """Largest square tile whose blocks fit the double-buffered VMEM budget."""
+    for t in (1024, 512, 384, 256, 128, 64):
+        # W tile (t, n) re+im, x block (n, t) re+im, out (t, t) f32
+        block_bytes = t * n * 8 + n * t * 8 + t * t * 4
+        if 2 * block_bytes <= VMEM_BLOCK_BUDGET and t <= max(n_fft, 128):
+            return t
+    return 64
+
+
 def doppler_rdm_pallas(
     pc: jnp.ndarray,
     window: np.ndarray,
     notch_divisor: int | None = 150,
     shift: bool = True,
+    n_fft: int | None = None,
     interpret: bool | None = None,
-    max_chunk: int = 512,
+    max_chunk: int | None = None,
+    tile_k: int | None = None,
 ) -> jnp.ndarray:
     """PC data (..., n_pulses, n_range) complex -> notched magnitude RDM.
 
-    ``window`` is the slow-time taper; the DFT matrix (window and fftshift
-    folded in) is a host-precomputed constant.  The range axis is tiled in
-    ``max_chunk`` columns per grid step (independent columns — no halo).
+    ``window`` is the slow-time taper; the DFT plane (window, zero-padding
+    and fftshift folded in) is a host-precomputed constant.  The output is
+    (..., n_fft, n_range) magnitude.  The grid tiles (batch, Doppler rows,
+    range columns); all tiles are independent — no halos.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = pc.shape[-2]
     nr = pc.shape[-1]
+    n_fft = n_fft or n
+    if n_fft < n:
+        raise ValueError(f"n_fft {n_fft} < n_pulses {n}")
     batch_shape = pc.shape[:-2]
     if window.shape[0] != n:
         raise ValueError("window length mismatch")
 
-    dft = _dft_matrix(n, shift, tuple(np.asarray(window).tolist()))
-    wre = jnp.asarray(dft.real, dtype=jnp.float32)
-    wim = jnp.asarray(dft.imag, dtype=jnp.float32)
+    dft = _dft_matrix_rect(n_fft, n, shift, tuple(np.asarray(window).tolist()))
+    t = tile_k or max_chunk or _auto_tile(n, n_fft)
+    tile = min(t, n_fft)
+    chunk = max_chunk or t
 
     if notch_divisor:
-        hw = matlab_round(n / notch_divisor)
-        center = matlab_round(n / 2) - 1
+        hw = matlab_round(n_fft / notch_divisor)
+        center = matlab_round(n_fft / 2) - 1
         notch_lo, notch_hi = center - hw, center + hw
     else:
         notch_lo, notch_hi = 0, -1
@@ -85,33 +126,43 @@ def doppler_rdm_pallas(
     xre = jnp.real(pc3).astype(jnp.float32)
     xim = jnp.imag(pc3).astype(jnp.float32)
 
-    # pad the range axis to a multiple of the chunk
-    n_chunks = -(-nr // max_chunk)
-    padded = n_chunks * max_chunk
-    if padded != nr:
-        pad = [(0, 0), (0, 0), (0, padded - nr)]
+    # pad the Doppler axis (DFT plane rows) and the range axis to tiles
+    k_tiles = -(-n_fft // tile)
+    padded_k = k_tiles * tile
+    wre_np = dft.real.astype(np.float32)
+    wim_np = dft.imag.astype(np.float32)
+    if padded_k != n_fft:
+        wre_np = np.pad(wre_np, ((0, padded_k - n_fft), (0, 0)))
+        wim_np = np.pad(wim_np, ((0, padded_k - n_fft), (0, 0)))
+    wre = jnp.asarray(wre_np)
+    wim = jnp.asarray(wim_np)
+
+    n_chunks = -(-nr // chunk)
+    padded_r = n_chunks * chunk
+    if padded_r != nr:
+        pad = [(0, 0), (0, 0), (0, padded_r - nr)]
         xre = jnp.pad(xre, pad)
         xim = jnp.pad(xim, pad)
 
-    kernel = _make_rdm_kernel(notch_lo, notch_hi)
+    kernel = _make_rdm_kernel(notch_lo, notch_hi, tile)
     out = pl.pallas_call(
         kernel,
-        grid=(b, n_chunks),
+        grid=(b, k_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((n, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i, k, j: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, n), lambda i, k, j: (k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, n, max_chunk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+                (1, n, chunk), lambda i, k, j: (i, 0, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, n, max_chunk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+                (1, n, chunk), lambda i, k, j: (i, 0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, max_chunk), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, tile, chunk), lambda i, k, j: (i, k, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, padded), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, padded_k, padded_r), jnp.float32),
         interpret=interpret,
     )(wre, wim, xre, xim)
 
-    return out[..., :nr].reshape(batch_shape + (n, nr))
+    return out[:, :n_fft, :nr].reshape(batch_shape + (n_fft, nr))

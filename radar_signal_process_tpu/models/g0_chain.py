@@ -156,15 +156,27 @@ class G0Chain:
         w = jnp.asarray(self._mtd_window, dtype=jnp.real(mf).dtype)
         return jnp.fft.fft(mf * w[None, :, None], self.chain.mtd_fft_length, axis=-2)
 
+    def _mtd_mag(self, mf: jnp.ndarray) -> jnp.ndarray:
+        """|MTD FFT| per beam; fused MXU-DFT kernel on TPU (zero-padding and
+        the Hamming window folded into the tiled DFT plane)."""
+        if jax.default_backend() == "tpu":
+            from radar_signal_process_tpu.kernels.rdm_pallas import (
+                doppler_rdm_pallas,
+            )
+
+            return doppler_rdm_pallas(
+                mf, self._mtd_window, notch_divisor=None, shift=False,
+                n_fft=self.chain.mtd_fft_length,
+            )
+        return jnp.abs(self._mtd(mf))
+
     def _process_impl(self, left: jnp.ndarray, right: jnp.ndarray) -> G0FrameResult:
         prof = self.profile
         cfar = prof.cfar
 
         short_mf, long_mf = self._pc(left, right)
-        mtd_short = self._mtd(short_mf)   # (2, mtd_fft, point_short)
-        mtd_long = self._mtd(long_mf)     # (2, mtd_fft, pc_fft)
-
-        abs_short, abs_long = jnp.abs(mtd_short), jnp.abs(mtd_long)
+        abs_short = self._mtd_mag(short_mf)   # (2, mtd_fft, point_short)
+        abs_long = self._mtd_mag(long_mf)     # (2, mtd_fft, pc_fft)
         sum_short = abs_short[0] + abs_short[1]     # |L| + |R| (:421-422)
         sum_long = abs_long[0] + abs_long[1]
         diff_short = abs_short[1] - abs_short[0]    # |R| - |L| (:425-426)

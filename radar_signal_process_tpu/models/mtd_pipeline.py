@@ -55,14 +55,9 @@ def mtd_produce(
     if use_pallas_rdm is None:
         import jax
 
-        # the fused kernel pins two (N, N) DFT planes in VMEM; beyond ~512
-        # pulses that exceeds the Mosaic VMEM budget (see CLAUDE.md), so
-        # long CPIs fall back to the XLA matmul-DFT path
-        use_pallas_rdm = (
-            jax.default_backend() == "tpu"
-            and profile.mtd.fftshift
-            and n_pulses <= 512
-        )
+        # the fused kernel tiles its DFT plane over Doppler rows, so any
+        # CPI length fits the Mosaic VMEM budget
+        use_pallas_rdm = jax.default_backend() == "tpu" and profile.mtd.fftshift
     if use_pallas_rdm and profile.mtd.fftshift:
         from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
 
@@ -124,11 +119,7 @@ def mtd_window_produce(
     n_pulses = pc.shape[-2]
     window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
     if use_pallas_rdm is None:
-        use_pallas_rdm = (
-            jax.default_backend() == "tpu"
-            and profile.mtd.fftshift
-            and n_pulses <= 512
-        )
+        use_pallas_rdm = jax.default_backend() == "tpu" and profile.mtd.fftshift
     if use_pallas_rdm and profile.mtd.fftshift:
         from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
 

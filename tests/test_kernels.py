@@ -92,3 +92,54 @@ def test_pallas_rdm_former_no_notch(rng):
     )
     want = np.asarray(doppler_process(jnp.asarray(pc), w, use_matmul=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_rdm_former_zero_padded_unshifted(rng):
+    """Rectangular DFT plane: the G0 zero-padded unshifted MTD FFT
+    (1536 -> 2048 points, ``DMX_SignalProcessing_main_xzr.m:413-418``) in
+    miniature, with the Doppler axis forced to tile."""
+    from radar_signal_process_tpu.kernels import doppler_rdm_pallas
+    from radar_signal_process_tpu.ops import doppler_process, make_window
+
+    pc = (
+        rng.standard_normal((2, 96, 130)) + 1j * rng.standard_normal((2, 96, 130))
+    ).astype(np.complex64)
+    w = make_window("hamming", 96)
+    got = np.asarray(
+        doppler_rdm_pallas(jnp.asarray(pc), w, notch_divisor=None, shift=False,
+                           n_fft=256, interpret=True, tile_k=64, max_chunk=64)
+    )
+    want = np.asarray(
+        doppler_process(jnp.asarray(pc), w, n_fft=256, shift=False,
+                        use_matmul=False)
+    )
+    assert got.shape == (2, 256, 130)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_rdm_former_notch_across_row_tiles(rng):
+    """The notch rows must land correctly when they straddle k-tiles."""
+    from radar_signal_process_tpu.kernels import doppler_rdm_pallas
+    from radar_signal_process_tpu.ops import (
+        doppler_process,
+        make_window,
+        zero_velocity_notch,
+    )
+
+    pc = (rng.standard_normal((96, 64)) + 1j * rng.standard_normal((96, 64))).astype(
+        np.complex64
+    )
+    w = make_window("kaiser", 96, 8.0)
+    got = np.asarray(
+        doppler_rdm_pallas(jnp.asarray(pc), w, notch_divisor=10, interpret=True,
+                           tile_k=32, max_chunk=64)
+    )
+    want = np.asarray(
+        zero_velocity_notch(
+            doppler_process(jnp.asarray(pc), w, use_matmul=True), divisor=10
+        )
+    )
+    # divisor 10 on 96 rows: half-width 10 around row 47 -> rows 37..57 span
+    # the 32-row tile boundary at 32 and 64
+    assert (got[37:58] == 0).all()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)

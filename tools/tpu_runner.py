@@ -101,6 +101,11 @@ def main(job_dir: str) -> None:
                 tee = _Tee(live)
                 try:
                     sys.stdout = sys.stderr = tee
+                    # drop cached framework modules so edits between jobs
+                    # take effect (jax stays initialized; the grant is kept)
+                    for mod in [m for m in sys.modules
+                                if m.split(".")[0] == "radar_signal_process_tpu"]:
+                        del sys.modules[mod]
                     with open(path) as f:
                         code = f.read()
                     exec(compile(code, path, "exec"), {"__name__": "__tpu_job__"})
