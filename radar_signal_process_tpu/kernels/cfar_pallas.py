@@ -125,7 +125,7 @@ def cascaded_cfar2d_pallas(
     n_clutter: int,
     cfg_range: CFARConfig | None = None,
     interpret: bool | None = None,
-    max_chunk: int = 1024,
+    max_chunk: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused replacement for ``ops.cfar.cascaded_cfar2d``.
 
@@ -133,11 +133,14 @@ def cascaded_cfar2d_pallas(
     ``(flags, vflags)`` of the full shape.  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
 
-    Wide RDMs are processed in overlapping range chunks of ``max_chunk``
-    columns (+ a ``ref+guard+2E`` halo): with a multi-program grid Pallas
-    double-buffers every block, so whole-segment blocks would overflow VMEM;
-    chunk validity is evaluated on *global* column indices, keeping results
-    bit-identical.
+    Wide RDMs are processed in overlapping range chunks (+ a ``ref+guard+2E``
+    halo): with a multi-program grid Pallas double-buffers every block, so
+    whole-segment blocks would overflow VMEM; chunk validity is evaluated on
+    *global* column indices, keeping results bit-identical.
+    ``max_chunk=None`` sizes the chunk from the RDM height so the three
+    f32 blocks (input + two outputs), double-buffered, stay under the
+    Mosaic budget — tall G0-geometry RDMs (~2048 rows) get narrow chunks
+    automatically.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -146,6 +149,10 @@ def cascaded_cfar2d_pallas(
     nv = rdm.shape[-2]
     nr = rdm.shape[-1]
     lo, hi = n_clutter + 1, nv - n_clutter
+    if max_chunk is None:
+        budget = 12 * 1024 * 1024
+        nvu_est = max(hi - lo, 1)
+        max_chunk = max(128, min(1024, budget // (2 * 3 * 4 * nvu_est) // 128 * 128))
     used = rdm[..., lo:hi, :].astype(jnp.float32)
     batch_shape = used.shape[:-2]
     nvu = used.shape[-2]

@@ -185,8 +185,18 @@ class G0Chain:
         sum_short = zero_velocity_notch_unshifted(sum_short, self.n_clutter)
         sum_long = zero_velocity_notch_unshifted(sum_long, self.n_clutter)
 
-        flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, self.n_clutter)
-        flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, self.n_clutter)
+        if jax.default_backend() == "tpu":
+            from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
+
+            flags_s, vflags_s = cascaded_cfar2d_pallas(
+                sum_short.astype(jnp.float32), cfar, self.n_clutter
+            )
+            flags_l, vflags_l = cascaded_cfar2d_pallas(
+                sum_long.astype(jnp.float32), cfar, self.n_clutter
+            )
+        else:
+            flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, self.n_clutter)
+            flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, self.n_clutter)
 
         dets_s = extract_detections(flags_s, sum_short, self.max_detections)
         dets_l = extract_detections(flags_l, sum_long, self.max_detections)

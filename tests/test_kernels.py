@@ -143,3 +143,21 @@ def test_pallas_rdm_former_notch_across_row_tiles(rng):
     # the 32-row tile boundary at 32 and 64
     assert (got[37:58] == 0).all()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_cfar_tall_rdm_auto_chunk(rng):
+    """Tall (G0-geometry) RDMs must auto-narrow the range chunk and still
+    match the XLA op exactly."""
+    from radar_signal_process_tpu.config import CFARConfig
+    from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
+    from radar_signal_process_tpu.ops import cascaded_cfar2d
+
+    nv, nr = 1024, 300   # chunk auto-sizes to < nr, forcing the chunked path
+    rdm = (np.abs(rng.standard_normal((nv, nr))) + 0.5).astype(np.float32)
+    for _ in range(10):
+        rdm[rng.integers(40, nv - 40), rng.integers(0, nr)] += 60.0
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, 20)
+    got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdm), cfg, 20)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
