@@ -69,7 +69,22 @@ def _claim_backend(wait_s: float) -> str:
     except ImportError:
         have_axon = False
 
-    deadline = time.time() + (wait_s if have_axon else 0.0)
+    if not have_axon:
+        # No relay in this image.  Nothing has initialized a PJRT plugin
+        # yet, so flipping jax_platforms in-process is safe here (and only
+        # here): let jax auto-choose an attached accelerator, else CPU.
+        try:
+            return jax.devices()[0].platform
+        except RuntimeError:
+            pass
+        try:
+            jax.config.update("jax_platforms", "")
+            return jax.devices()[0].platform
+        except RuntimeError:
+            jax.config.update("jax_platforms", "cpu")
+            return "cpu"
+
+    deadline = time.time() + wait_s
     while True:
         try:
             dev = jax.devices()[0]
@@ -77,14 +92,10 @@ def _claim_backend(wait_s: float) -> str:
         except RuntimeError:
             pass
         if time.time() > deadline:
-            # no relay (or gave up waiting): let jax auto-choose an
-            # attached accelerator, else fall back to CPU
-            try:
-                jax.config.update("jax_platforms", "")
-                return jax.devices()[0].platform
-            except RuntimeError:
-                jax.config.update("jax_platforms", "cpu")
-                return "cpu"
+            # The axon plugin may have (partially) initialized during the
+            # retries; in-process jax_platforms flips are NOT safe then
+            # (see CLAUDE.md) — restart as a clean CPU process.
+            _reexec_cpu("axon grant wait timeout")
         try:
             import uuid
 
@@ -109,11 +120,9 @@ def build_chain(beam_mapped: bool | None = None):
     from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
     from radar_signal_process_tpu.models.detect import detect_rdm
     from radar_signal_process_tpu.models.mtd_pipeline import (
-        mtd_produce,
+        mtd_window_produce,
         slice_cpi_window,
     )
-
-    from radar_signal_process_tpu.models.mtd_pipeline import mtd_window_produce
     from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
     from radar_signal_process_tpu.ops.pulse_compression import (
         segmented_pulse_compression,
@@ -182,14 +191,18 @@ def build_chain(beam_mapped: bool | None = None):
             k = -(-n // n_threads)  # ceil
             parts = [echo_window[i : i + k] for i in range(0, n, k)]
             out = [None] * len(parts)
+            errors = []
 
             def run(i, part):
-                flat = pc_slices_fn(part)
-                acc = None
-                for j in range(flat.shape[0]):
-                    s = cfar_fn(rdm_fn(flat[j]))
-                    acc = s if acc is None else acc + s
-                out[i] = acc
+                try:
+                    flat = pc_slices_fn(part)
+                    acc = None
+                    for j in range(flat.shape[0]):
+                        s = cfar_fn(rdm_fn(flat[j]))
+                        acc = s if acc is None else acc + s
+                    out[i] = acc
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
 
             threads = [
                 threading.Thread(target=run, args=(i, p))
@@ -199,6 +212,9 @@ def build_chain(beam_mapped: bool | None = None):
                 t.start()
             for t in threads:
                 t.join()
+            if errors:
+                # a partial workload must never produce a headline number
+                raise errors[0]
             return out
 
     else:
@@ -429,10 +445,7 @@ def main() -> int:
     if args.stages:
         from radar_signal_process_tpu.config import CFARConfig
         from radar_signal_process_tpu.models.detect import detect_rdm
-        from radar_signal_process_tpu.models.mtd_pipeline import (
-            mtd_produce,
-            slice_cpi_window,
-        )
+        from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
         from radar_signal_process_tpu.ops.mtd import doppler_process
         from radar_signal_process_tpu.ops.pulse_compression import (
             segmented_pulse_compression,

@@ -119,6 +119,20 @@ def _make_cfar_kernel(
     return kernel
 
 
+def _auto_chunk(cfg: CFARConfig, cfg_r: CFARConfig, nvu: int) -> int:
+    """Range-chunk width fitting the double-buffered Mosaic VMEM budget.
+
+    The actual chunked block width is ``chunk + 2*halo`` (the overlap fed to
+    the kernel), and 3 f32 blocks (input + two outputs) are double-buffered:
+    keep ``2 * 3 * 4 B * nvu * (chunk + 2*halo)`` under ~12 MB.
+    """
+    budget = 12 * 1024 * 1024
+    nvu = max(nvu, 1)
+    halo = cfg_r.ref_cells + cfg_r.guard_cells + 2 * cfg.range_extend_cells
+    avail_cols = budget // (2 * 3 * 4 * nvu) - 2 * halo
+    return max(128, min(1024, avail_cols // 128 * 128))
+
+
 def cascaded_cfar2d_pallas(
     rdm: jnp.ndarray,
     cfg: CFARConfig,
@@ -150,9 +164,7 @@ def cascaded_cfar2d_pallas(
     nr = rdm.shape[-1]
     lo, hi = n_clutter + 1, nv - n_clutter
     if max_chunk is None:
-        budget = 12 * 1024 * 1024
-        nvu_est = max(hi - lo, 1)
-        max_chunk = max(128, min(1024, budget // (2 * 3 * 4 * nvu_est) // 128 * 128))
+        max_chunk = _auto_chunk(cfg, cfg_r, hi - lo)
     used = rdm[..., lo:hi, :].astype(jnp.float32)
     batch_shape = used.shape[:-2]
     nvu = used.shape[-2]

@@ -22,8 +22,6 @@ Bit-parity with ``ops.mtd.doppler_process(use_matmul=True)`` +
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,21 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from radar_signal_process_tpu.config import matlab_round
+from radar_signal_process_tpu.ops.mtd import _dft_matrix_rect
 
 VMEM_BLOCK_BUDGET = 12 * 1024 * 1024  # double-buffered block bytes (CLAUDE.md)
-
-
-@functools.lru_cache(maxsize=None)
-def _dft_matrix_rect(n_fft: int, n: int, shift: bool, window_key) -> np.ndarray:
-    """(n_fft, n) windowed DFT plane: zero-padding folded into the shape."""
-    k = np.arange(n_fft)[:, None]
-    m = np.arange(n)[None, :]
-    w_mat = np.exp(-2j * np.pi * k * m / n_fft)
-    if shift:
-        w_mat = np.fft.fftshift(w_mat, axes=0)
-    if window_key is not None:
-        w_mat = w_mat * np.asarray(window_key)[None, :]
-    return w_mat
 
 
 def _make_rdm_kernel(notch_lo: int, notch_hi: int, tile_k: int):

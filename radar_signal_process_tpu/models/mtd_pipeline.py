@@ -27,6 +27,37 @@ from radar_signal_process_tpu.ops.waveforms import reference_pulses
 from radar_signal_process_tpu.ops.windows import make_window
 
 
+def _form_rdm(
+    pc: jnp.ndarray,
+    profile: RadarProfile,
+    use_pallas_rdm: bool | None = None,
+) -> jnp.ndarray:
+    """Compressed pulses (..., n_pulses, n_pts) -> notched magnitude RDM.
+
+    The shared RDM-former tail of :func:`mtd_produce` and
+    :func:`mtd_window_produce`: slow-time window, Doppler transform (fused
+    Pallas MXU-DFT kernel on TPU, XLA FFT otherwise) and zero-velocity
+    notch.
+    """
+    n_pulses = pc.shape[-2]
+    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+    if use_pallas_rdm is None:
+        # the fused kernel tiles its DFT plane over Doppler rows, so any
+        # CPI length fits the Mosaic VMEM budget
+        use_pallas_rdm = jax.default_backend() == "tpu" and profile.mtd.fftshift
+    if use_pallas_rdm and profile.mtd.fftshift:
+        from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
+
+        return doppler_rdm_pallas(
+            pc, window, notch_divisor=profile.mtd.notch_divisor or None,
+            shift=True,
+        )
+    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+    if profile.mtd.notch_divisor:
+        rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+    return rdm
+
+
 def mtd_produce(
     echo: jnp.ndarray,
     profile: RadarProfile,
@@ -44,32 +75,12 @@ def mtd_produce(
     from radar_signal_process_tpu.ops.mtd import istc_compensate, mti_cancel
 
     pulses = reference_pulses(profile)
-    n_pulses = echo.shape[-2]
-    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
     if profile.mtd.istc and stc_curve_db is not None:
         echo = istc_compensate(echo, stc_curve_db)
     pc = segmented_pulse_compression(echo, profile, pulses)
     if profile.mtd.mti_lag:
         pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
-
-    if use_pallas_rdm is None:
-        import jax
-
-        # the fused kernel tiles its DFT plane over Doppler rows, so any
-        # CPI length fits the Mosaic VMEM budget
-        use_pallas_rdm = jax.default_backend() == "tpu" and profile.mtd.fftshift
-    if use_pallas_rdm and profile.mtd.fftshift:
-        from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
-
-        return doppler_rdm_pallas(
-            pc, window, notch_divisor=profile.mtd.notch_divisor or None,
-            shift=True,
-        )
-
-    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
-    if profile.mtd.notch_divisor:
-        rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
-    return rdm
+    return _form_rdm(pc, profile, use_pallas_rdm)
 
 
 def window_slice_starts(prts_per_slice: int, win_size: int) -> Tuple[int, ...]:
@@ -115,22 +126,7 @@ def mtd_window_produce(
     pc = slice_cpi_window(pc_win, win_size)         # (..., win, n_prt, n_pts)
     if profile.mtd.mti_lag:
         pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
-
-    n_pulses = pc.shape[-2]
-    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
-    if use_pallas_rdm is None:
-        use_pallas_rdm = jax.default_backend() == "tpu" and profile.mtd.fftshift
-    if use_pallas_rdm and profile.mtd.fftshift:
-        from radar_signal_process_tpu.kernels.rdm_pallas import doppler_rdm_pallas
-
-        return doppler_rdm_pallas(
-            pc, window, notch_divisor=profile.mtd.notch_divisor or None,
-            shift=True,
-        )
-    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
-    if profile.mtd.notch_divisor:
-        rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
-    return rdm
+    return _form_rdm(pc, profile, use_pallas_rdm)
 
 
 def make_frame_processor(profile: RadarProfile, win_size: int = 4):

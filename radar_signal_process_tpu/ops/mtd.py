@@ -28,15 +28,26 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_matrix(n: int, shift: bool, window_key) -> np.ndarray:
-    """Windowed (and optionally fftshift'ed) DFT matrix, host-precomputed."""
-    k = np.arange(n)
-    w_mat = np.exp(-2j * np.pi * np.outer(k, k) / n)
+def _dft_matrix_rect(n_fft: int, n: int, shift: bool, window_key) -> np.ndarray:
+    """(n_fft, n) windowed (optionally fftshift'ed) DFT plane, host-built.
+
+    ``n_fft > n`` folds zero-padding into a rectangular plane; ``n_fft == n``
+    is the plain square DFT matrix.  The single implementation keeps the XLA
+    matmul path and the Pallas kernel bit-aligned.
+    """
+    k = np.arange(n_fft)[:, None]
+    m = np.arange(n)[None, :]
+    w_mat = np.exp(-2j * np.pi * k * m / n_fft)
     if shift:
         w_mat = np.fft.fftshift(w_mat, axes=0)
     if window_key is not None:
         w_mat = w_mat * np.asarray(window_key)[None, :]
     return w_mat
+
+
+def _dft_matrix(n: int, shift: bool, window_key) -> np.ndarray:
+    """Square windowed DFT matrix (the ``n_fft == n`` case)."""
+    return _dft_matrix_rect(n, n, shift, window_key)
 
 
 def doppler_process(

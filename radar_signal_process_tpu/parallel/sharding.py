@@ -327,6 +327,10 @@ def make_sharded_e2e(
     if n_beams % n_tp:
         raise ValueError(f"n_beams {n_beams} not divisible by tp={n_tp}")
     segments = profile.cfar_segments if segmented else ()
+    if segments and segments[-1][1] != profile.point_prt:
+        segments = ()  # stale table for a truncated geometry — same guard
+        # as make_sharded_pipeline: better whole-width CFAR than wrong
+        # per-column bounds admitting wrapped halo data at the range edge
 
     def step(iq_local: jnp.ndarray, coeffs_local: jnp.ndarray):
         # iq_local: (frames_local, prt_local, samples, ch_local)

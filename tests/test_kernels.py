@@ -152,11 +152,15 @@ def test_pallas_cfar_tall_rdm_auto_chunk(rng):
     from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
     from radar_signal_process_tpu.ops import cascaded_cfar2d
 
-    nv, nr = 1024, 300   # chunk auto-sizes to < nr, forcing the chunked path
+    from radar_signal_process_tpu.kernels.cfar_pallas import _auto_chunk
+
+    nv, nr = 2048, 640
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    # the G0 production geometry must auto-size below nr -> chunked path
+    assert _auto_chunk(cfg, cfg, nv - 2 * 20 - 1) < nr
     rdm = (np.abs(rng.standard_normal((nv, nr))) + 0.5).astype(np.float32)
     for _ in range(10):
         rdm[rng.integers(40, nv - 40), rng.integers(0, nr)] += 60.0
-    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
     want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, 20)
     got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdm), cfg, 20)
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
