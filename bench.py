@@ -113,7 +113,7 @@ def _claim_backend(wait_s: float) -> str:
             time.sleep(10)
 
 
-def build_chain(beam_mapped: bool | None = None):
+def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 14):
     import jax
     import jax.numpy as jnp
 
@@ -130,7 +130,7 @@ def build_chain(beam_mapped: bool | None = None):
     from radar_signal_process_tpu.ops.waveforms import reference_pulses
     from radar_signal_process_tpu.ops.windows import make_window
 
-    prof = G2_PROFILE
+    prof = profile or G2_PROFILE
     cfg = CFARConfig(threshold=5.0)
     if beam_mapped is None:
         # CPU caches thrash on the full (13, 4, 332, 3404) working set;
@@ -141,7 +141,7 @@ def build_chain(beam_mapped: bool | None = None):
 
     def one(echo_window):
         rdms = mtd_window_produce(echo_window, prof, 4)  # (..., 4, 332, 3404)
-        flags, _ = detect_rdm(rdms, prof, n_clutter=14, cfg=cfg)
+        flags, _ = detect_rdm(rdms, prof, n_clutter=n_clutter, cfg=cfg)
         # reduce to a tiny f32 so nothing large leaves the device
         return jnp.stack(
             [jnp.sum(rdms).astype(jnp.float32), jnp.sum(flags).astype(jnp.float32)]
@@ -180,7 +180,7 @@ def build_chain(beam_mapped: bool | None = None):
 
         @jax.jit
         def cfar_fn(rdm):
-            flags, _ = detect_rdm(rdm, prof, n_clutter=14, cfg=cfg)
+            flags, _ = detect_rdm(rdm, prof, n_clutter=n_clutter, cfg=cfg)
             return jnp.stack(
                 [jnp.sum(rdm).astype(jnp.float32),
                  jnp.sum(flags).astype(jnp.float32)]

@@ -1,0 +1,37 @@
+"""Bench self-consistency: the CPU threaded chain == the batched chain.
+
+The headline number must time the same computation the batched (TPU-path)
+chain performs; both reduce to (sum(rdms), sum(flags)) per frame.
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from radar_signal_process_tpu.config import G2_PROFILE
+
+TINY = dataclasses.replace(
+    G2_PROFILE, prt_per_frame=32, point_prt=344, segment_points=(24, 80, 240),
+    cfar_segments=((0, 24), (24, 104), (104, 344)), n_beams=3,
+)
+
+
+def test_threaded_chain_matches_batched(rng):
+    prof, threaded = bench.build_chain(beam_mapped=True, profile=TINY, n_clutter=4)
+    _, batched = bench.build_chain(beam_mapped=False, profile=TINY, n_clutter=4)
+    shape = (TINY.n_beams, 2 * TINY.prt_per_frame, TINY.point_prt)
+    x = jnp.asarray(
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+    )
+    got = np.sum(np.asarray(jax.block_until_ready(threaded(x))), axis=0)
+    want = np.asarray(jax.block_until_ready(batched(x)))
+    # flag counts are integral and must agree exactly; the RDM sum differs
+    # only by f32 accumulation order across chunks
+    assert got[1] == want[1]
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
