@@ -194,3 +194,40 @@ def test_sharded_e2e_tp_dbf_matches_unsharded(rng):
     )
     np.testing.assert_array_equal(np.asarray(vflags_s), np.asarray(vflags_u))
     np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
+
+
+def test_sharded_e2e_drops_stale_segments(rng):
+    """A cfar_segments table that does not tile the actual range extent must
+    be dropped (whole-width CFAR), exactly like make_sharded_pipeline —
+    review finding r2: stale bounds otherwise admit wrapped halo data into
+    edge reference windows."""
+    import dataclasses
+
+    from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
+    from radar_signal_process_tpu.ops.dbf import apply_dbf
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_e2e
+
+    mesh3 = make_mesh(("dp", "sp", "tp"), shape=(2, 2, 2))
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 400)),  # stale: ends at 400
+        n_channels=4, n_beams=4,
+    )
+    iq = (
+        rng.standard_normal((2, 32, 344, 4))
+        + 1j * rng.standard_normal((2, 32, 344, 4))
+    )
+    coeffs = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    cfg = CFARConfig(ref_cells=3, guard_cells=4, threshold=5.0)
+
+    run = make_sharded_e2e(prof, mesh3, coeffs, cfg, n_clutter=4)
+    x = jax.device_put(
+        jnp.asarray(iq), NamedSharding(mesh3, P("dp", "sp", None, "tp"))
+    )
+    _, flags_s, _ = run(x)
+
+    echo = jnp.moveaxis(apply_dbf(jnp.asarray(iq), jnp.asarray(coeffs)), -1, 1)
+    rdm_u = mtd_produce(echo, prof)
+    flags_u, _ = cascaded_cfar2d(rdm_u, cfg, 4)   # whole-width, no segments
+    np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
