@@ -182,7 +182,16 @@ def cmd_mtd(args) -> int:
     from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
 
     profile = PROFILES[args.profile]
-    process = make_frame_processor(profile, win_size=args.win_size)
+    if jax.default_backend() == "cpu":
+        # host-thread fan-out over beam chunks with split stage executables
+        # (see models.host_parallel) — ~2x on multi-core CPU hosts
+        from radar_signal_process_tpu.models.host_parallel import (
+            make_cpu_frame_processor,
+        )
+
+        process = make_cpu_frame_processor(profile, win_size=args.win_size)
+    else:
+        process = make_frame_processor(profile, win_size=args.win_size)
     timers = StageTimers()
     done = 0
     for frame_idx in range(args.frames):
@@ -239,11 +248,32 @@ def cmd_detect(args) -> int:
         if detector is None:
             import dataclasses as dc
 
+            import jax
+
             cfg = dc.replace(profile.cfar, threshold=args.threshold)
             nc = clutter_cells(profile, rdms.shape[-2], args.clutter_v)
-            detector = make_detector(
-                profile, n_clutter=nc, max_detections=args.max_detections, cfg=cfg
-            )
+            if jax.default_backend() == "cpu":
+                from functools import partial
+
+                from radar_signal_process_tpu.models.host_parallel import (
+                    make_cpu_flags,
+                )
+                from radar_signal_process_tpu.ops.measure import extract_detections
+
+                flags_fn = make_cpu_flags(profile, nc, cfg=cfg)
+                extract = jax.jit(
+                    partial(extract_detections, max_detections=args.max_detections)
+                )
+
+                def detector(r):
+                    f, v = flags_fn(r)
+                    return f, v, extract(jnp.asarray(f), r)
+
+            else:
+                detector = make_detector(
+                    profile, n_clutter=nc, max_detections=args.max_detections,
+                    cfg=cfg,
+                )
         with timers.stage("cfar") as h:
             flags, vflags, dets = detector(rdms)
             h["fence"] = flags

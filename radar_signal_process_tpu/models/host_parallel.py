@@ -1,0 +1,149 @@
+"""Host-thread parallel CPU execution of the per-frame pipeline.
+
+XLA's CPU backend executes the thunks of one executable sequentially and
+re-computes fused elementwise producers into every CFAR consumer (see
+``docs/tpu_design.md`` — "CPU-backend execution findings"), so on CPU the
+frame pipeline runs fastest as SEPARATE jitted stage executables dispatched
+from host threads over beam chunks.  Outputs are identical to the batched
+jitted path (per-row FFTs and elementwise chains are deterministic and
+row-independent); ``tests/test_host_parallel.py`` pins that.
+
+These helpers are used by the CLI when the backend is CPU; TPU paths keep
+the single batched jit (`make_frame_processor` / `make_detector`).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_signal_process_tpu.config import CFARConfig, RadarProfile
+from radar_signal_process_tpu.models.detect import detect_rdm
+from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
+from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
+from radar_signal_process_tpu.ops.pulse_compression import segmented_pulse_compression
+from radar_signal_process_tpu.ops.waveforms import reference_pulses
+from radar_signal_process_tpu.ops.windows import make_window
+
+
+def _thread_map(fn: Callable[[int], None], n: int) -> None:
+    """Run ``fn(i)`` for i in range(n) across threads; re-raise failures."""
+    errors: List[BaseException] = []
+
+    def run(i: int) -> None:
+        try:
+            fn(i)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
+def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
+    """CPU-threaded equivalent of ``make_frame_processor``.
+
+    Returns ``process(frame_now, frame_next) -> np.ndarray`` of shape
+    (n_beams, win_size, n_prt, n_points) — the same RDM stack, computed
+    with compression-once-per-window semantics and per-slice Doppler+notch,
+    beam chunks fanned out over host threads.
+    """
+    pulses = reference_pulses(profile)
+    window = make_window(
+        profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
+    )
+    n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
+
+    @jax.jit
+    def pc_slices_fn(beams):                     # (b, 2*prt, pts)
+        pc = segmented_pulse_compression(beams, profile, pulses)
+        return slice_cpi_window(pc, win_size)    # (b, win, prt, pts)
+
+    @jax.jit
+    def rdm_fn(pc_slice):                        # (prt, pts)
+        if profile.mtd.mti_lag:
+            from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+            pc_slice = mti_cancel(pc_slice, lag=profile.mtd.mti_lag)
+        rdm = doppler_process(pc_slice, window, shift=profile.mtd.fftshift)
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        return rdm
+
+    def process(frame_now, frame_next) -> np.ndarray:
+        win = jnp.concatenate(
+            [jnp.asarray(frame_now), jnp.asarray(frame_next)], axis=-2
+        )
+        n_beams, total_prt, n_pts = win.shape
+        prt = total_prt // 2
+        k = -(-n_beams // n_threads)
+        chunks = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
+        real_dtype = np.float64 if win.dtype == jnp.complex128 else np.float32
+        out = np.empty((n_beams, win_size, prt, n_pts), dtype=real_dtype)
+
+        def work(ci: int) -> None:
+            lo, hi = chunks[ci]
+            slices = pc_slices_fn(win[lo:hi])
+            for b in range(hi - lo):
+                for w in range(win_size):
+                    out[lo + b, w] = np.asarray(rdm_fn(slices[b, w]))
+
+        _thread_map(work, len(chunks))
+        return out
+
+    return process
+
+
+def make_cpu_flags(
+    profile: RadarProfile,
+    n_clutter: int,
+    cfg: CFARConfig | None = None,
+    renotch_divisor: int | None = 20,
+):
+    """CPU-threaded CFAR over an RDM stack (..., n_v, n_r) -> (flags, vflags).
+
+    Fans the leading batch dimensions out over host threads, one jitted
+    per-RDM detector executable; results match the batched ``detect_rdm``
+    exactly.
+    """
+    n_threads = max(1, os.cpu_count() or 1)
+
+    @jax.jit
+    def one(rdm):
+        return detect_rdm(
+            rdm, profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
+            use_pallas=False,
+        )
+
+    def flags_fn(rdms) -> tuple[np.ndarray, np.ndarray]:
+        rdms = jnp.asarray(rdms)
+        batch_shape = rdms.shape[:-2]
+        flat = rdms.reshape((-1,) + rdms.shape[-2:])
+        n = flat.shape[0]
+        flags = np.empty(flat.shape, dtype=bool)
+        vflags = np.empty(flat.shape, dtype=bool)
+        k = -(-n // n_threads)
+        chunks = [(i, min(i + k, n)) for i in range(0, n, k)]
+
+        def work(ci: int) -> None:
+            lo, hi = chunks[ci]
+            for j in range(lo, hi):
+                f, v = one(flat[j])
+                flags[j] = np.asarray(f)
+                vflags[j] = np.asarray(v)
+
+        _thread_map(work, len(chunks))
+        shape = batch_shape + rdms.shape[-2:]
+        return flags.reshape(shape), vflags.reshape(shape)
+
+    return flags_fn

@@ -1,0 +1,44 @@
+"""CPU host-parallel pipeline == batched jitted pipeline, exactly."""
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE, MTDConfig
+from radar_signal_process_tpu.models.detect import detect_rdm
+from radar_signal_process_tpu.models.host_parallel import (
+    make_cpu_flags,
+    make_cpu_frame_processor,
+)
+from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
+
+SMALL = dataclasses.replace(
+    G2_PROFILE, prt_per_frame=32, point_prt=344, segment_points=(24, 80, 240),
+    cfar_segments=((0, 24), (24, 104), (104, 344)), n_beams=3,
+)
+
+
+def test_cpu_frame_processor_matches_batched(rng):
+    for prof in (SMALL, dataclasses.replace(SMALL, mtd=MTDConfig(mti_lag=5))):
+        shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+        a = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+        b = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+        got = make_cpu_frame_processor(prof, 4)(a, b)
+        want = np.asarray(make_frame_processor(prof, 4)(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_cpu_flags_match_batched(rng):
+    prof = SMALL
+    rdms = (rng.standard_normal((3, 4, 32, 344)).astype(np.float32)) ** 2
+    cfg = CFARConfig(ref_cells=3, guard_cells=4, threshold=4.0)
+    got_f, got_v = make_cpu_flags(prof, 4, cfg=cfg)(rdms)
+    want_f, want_v = detect_rdm(jnp.asarray(rdms), prof, 4, cfg=cfg)
+    np.testing.assert_array_equal(got_f, np.asarray(want_f))
+    np.testing.assert_array_equal(got_v, np.asarray(want_v))
