@@ -19,6 +19,7 @@ from radar_signal_process_tpu.models.mtd_pipeline import (  # noqa: F401
 )
 from radar_signal_process_tpu.models.detect import (  # noqa: F401
     make_detector,
+    make_split_detector,
     detect_rdm,
 )
 from radar_signal_process_tpu.models.g0_chain import G0Chain  # noqa: F401

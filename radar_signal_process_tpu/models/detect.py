@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from radar_signal_process_tpu.config import CFARConfig, RadarProfile
-from radar_signal_process_tpu.ops.cfar import segmented_cfar
+from radar_signal_process_tpu.ops.cfar import (
+    segmented_cfar,
+    segmented_cfar_flags,
+    segmented_cfar_select,
+)
 from radar_signal_process_tpu.ops.measure import DetectionList, extract_detections
 from radar_signal_process_tpu.ops.mtd import zero_velocity_notch
 
@@ -68,6 +72,70 @@ def detect_rdm(
         jnp.concatenate(flag_parts, axis=-1),
         jnp.concatenate(vflag_parts, axis=-1),
     )
+
+
+def make_split_detector(
+    profile: RadarProfile,
+    n_clutter: int,
+    cfg: CFARConfig | None = None,
+    renotch_divisor: int | None = 20,
+    transposed: bool = False,
+):
+    """Two-executable CFAR detector for CPU backends.
+
+    XLA CPU re-computes fused producers into every consumer inside a single
+    executable (the reference-level chains feed both the flag compare and the
+    cascade selection), so the one-executable :func:`detect_rdm` pays ~2.2x
+    the necessary work there.  This splits the cascade at the (vflag, rflag)
+    materialization point into two jitted executables composed in Python —
+    bit-identical outputs, same ``(flags, vflags)`` contract.
+
+    Use inside host-level composition only (it calls ``jax.jit`` internally
+    and cannot be traced into an enclosing jit).
+
+    ``transposed=True`` works on (..., n_range, n_velocity) RDMs (the
+    ``doppler_process_range_major`` layout) and returns transposed flags —
+    the velocity-dim CFAR then runs along the contiguous axis (~2x cascade
+    throughput on CPU).
+    """
+    cfg = cfg or profile.cfar
+    v_axis = -1 if transposed else -2
+    r_axis = -2 if transposed else -1
+
+    def _notch(rdm):
+        if not renotch_divisor:
+            return rdm
+        if profile.mtd.fftshift:
+            return zero_velocity_notch(
+                rdm, divisor=renotch_divisor, velocity_axis=v_axis
+            )
+        from radar_signal_process_tpu.ops.mtd import zero_velocity_notch_unshifted
+
+        return zero_velocity_notch_unshifted(rdm, n_clutter, velocity_axis=v_axis)
+
+    def _segments(rdm):
+        return profile.cfar_segments or ((0, rdm.shape[r_axis]),)
+
+    @jax.jit
+    def stage_flags(rdm):
+        rdm = _notch(rdm)
+        return segmented_cfar_flags(
+            rdm, _segments(rdm), cfg, n_clutter, transposed=transposed
+        )
+
+    @jax.jit
+    def stage_select(rdm, vflag, rflag):
+        rdm = _notch(rdm)
+        return segmented_cfar_select(
+            rdm, vflag, rflag, _segments(rdm), cfg, n_clutter,
+            transposed=transposed,
+        )
+
+    def detect(rdm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        vflag, rflag = stage_flags(rdm)
+        return stage_select(rdm, vflag, rflag)
+
+    return detect
 
 
 def make_detector(

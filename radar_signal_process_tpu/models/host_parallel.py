@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_signal_process_tpu.config import CFARConfig, RadarProfile
-from radar_signal_process_tpu.models.detect import detect_rdm
 from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
 from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
 from radar_signal_process_tpu.ops.pulse_compression import segmented_pulse_compression
@@ -118,12 +117,11 @@ def make_cpu_flags(
     """
     n_threads = max(1, os.cpu_count() or 1)
 
-    @jax.jit
-    def one(rdm):
-        return detect_rdm(
-            rdm, profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
-            use_pallas=False,
-        )
+    from radar_signal_process_tpu.models.detect import make_split_detector
+
+    one = make_split_detector(
+        profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor
+    )
 
     def flags_fn(rdms) -> tuple[np.ndarray, np.ndarray]:
         rdms = jnp.asarray(rdms)

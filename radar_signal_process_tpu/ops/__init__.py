@@ -13,6 +13,7 @@ from radar_signal_process_tpu.ops.pulse_compression import (  # noqa: F401
 )
 from radar_signal_process_tpu.ops.mtd import (  # noqa: F401
     doppler_process,
+    doppler_process_range_major,
     zero_velocity_notch,
     zero_velocity_notch_unshifted,
     mti_cancel,
@@ -23,6 +24,8 @@ from radar_signal_process_tpu.ops.cfar import (  # noqa: F401
     cfar1d_ref_level,
     cascaded_cfar2d,
     segmented_cfar,
+    segmented_cfar_flags,
+    segmented_cfar_select,
 )
 from radar_signal_process_tpu.ops.dbf import apply_dbf  # noqa: F401
 from radar_signal_process_tpu.ops.measure import (  # noqa: F401

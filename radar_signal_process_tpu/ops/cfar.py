@@ -221,6 +221,200 @@ def _shift_range(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
     return jnp.concatenate([fill_arr, x[..., :d]], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Split two-executable CFAR (the fast CPU path)
+# ---------------------------------------------------------------------------
+#
+# XLA CPU duplicates fused producers into every consumer within one
+# executable: the reference-level chains feeding both the flag compare and
+# the 3-way cascade selection get recomputed per consumer, and
+# ``optimization_barrier`` does not stop it (CLAUDE.md).  Splitting the
+# cascade at its natural materialization point — the (vflag, rflag) pair —
+# into two separately-jitted executables bounds every chain to one pass,
+# measured 2.2-2.9x faster than the one-executable form on the session CPU
+# while staying bit-identical.  Inside each stage, shifted windows are
+# static slices of one zero-padded buffer (``_ref_level_padded``) rather
+# than ``jnp.roll`` — slices of a shared operand fuse into a single
+# elementwise loop on XLA CPU; roll (slice+concat pairs) does not.
+#
+# Summation order is the lockstep contract (CLAUDE.md): j = 0..r-1 away
+# from the cell, identical to ``cfar1d_ref_level``'s r-term running sum,
+# so flags are bit-identical for finite inputs on every cell with at least
+# one in-range reference window (guaranteed when n > 2*(ref+guard), the
+# fuzz-test floor; out-of-range windows read wrapped values in the roll
+# form and zeros here, both discarded by the validity select).
+
+
+def _ref_level_padded(
+    data: jnp.ndarray, ref_cells: int, guard_cells: int, method: int, axis: int
+) -> jnp.ndarray:
+    """``cfar1d_ref_level`` as static slices of one zero-padded buffer."""
+    axis = axis % data.ndim
+    n = data.shape[axis]
+    r, g = ref_cells, guard_cells
+    pad_w = g + r
+    pads = [(0, 0)] * data.ndim
+    pads[axis] = (pad_w, pad_w)
+    padded = jnp.pad(data, pads)
+
+    def shifted(off: int) -> jnp.ndarray:  # out[y] = data[y + off]
+        idx = [slice(None)] * data.ndim
+        idx[axis] = slice(pad_w + off, pad_w + off + n)
+        return padded[tuple(idx)]
+
+    left = shifted(-(g + 1))
+    for j in range(1, r):
+        left = left + shifted(-(g + 1) - j)
+    right = shifted(g + r)
+    for j in range(1, r):
+        right = right + shifted(g + r - j)
+    left_mean = left / r
+    right_mean = right / r
+
+    shape = [1] * data.ndim
+    shape[axis] = n
+    idx = np.arange(n).reshape(shape)
+    left_valid = jnp.asarray(idx - (g + r) >= 0)
+    right_valid = jnp.asarray(idx + (g + r) <= n - 1)
+    left_used = jnp.where(left_valid, left_mean, right_mean)
+    right_used = jnp.where(right_valid, right_mean, left_mean)
+    if method == 0:
+        return jnp.maximum(left_used, right_used)
+    return jnp.minimum(left_used, right_used)
+
+
+def _pad_shift(x: jnp.ndarray, ext: int, axis: int = -1):
+    """Padded-buffer shifter: shifted(d) = x shifted so out[y] = x[y+d] on axis."""
+    axis = axis % x.ndim
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (ext, ext)
+    padded = jnp.pad(x, pads)
+    n = x.shape[axis]
+
+    def shifted(d: int) -> jnp.ndarray:
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(ext + d, ext + d + n)
+        return padded[tuple(idx)]
+
+    return shifted
+
+
+def _split_axes(transposed: bool) -> Tuple[int, int]:
+    """(velocity_axis, range_axis) for the split-cascade layout."""
+    return (-1, -2) if transposed else (-2, -1)
+
+
+def _axis_slice(x: jnp.ndarray, start: int, stop: int, axis: int) -> jnp.ndarray:
+    idx = [slice(None)] * x.ndim
+    idx[axis % x.ndim] = slice(start, stop)
+    return x[tuple(idx)]
+
+
+def segmented_cfar_flags(
+    rdm: jnp.ndarray,
+    segments: Sequence[Tuple[int, int]],
+    cfg: CFARConfig,
+    n_clutter: int,
+    cfg_range: CFARConfig | None = None,
+    transposed: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage A of the split cascade: velocity- and range-dim flag planes.
+
+    Returns ``(vflag, rflag)`` over the clutter-cropped rows and full column
+    width.  The velocity-dim CFAR is column-local, so one full-width pass
+    equals the per-segment form; the range-dim pass honors segment edges.
+    Jit this and :func:`segmented_cfar_select` as SEPARATE executables.
+
+    ``transposed=True`` takes/returns the (..., n_range, n_velocity) layout
+    (see ``doppler_process_range_major``): the velocity-dim pass then runs
+    along the contiguous axis, ~2x the cascade throughput on CPU.
+    """
+    cfg_r = cfg_range or cfg
+    v_ax, r_ax = _split_axes(transposed)
+    lo, hi = n_clutter + 1, rdm.shape[v_ax] - n_clutter
+    used = _axis_slice(rdm, lo, hi, v_ax)
+    vref = _ref_level_padded(used, cfg.ref_cells, cfg.guard_cells, cfg.method, v_ax)
+    vflag = used >= vref * cfg.threshold
+    if not cfg.range_detect:
+        return vflag, vflag
+    rflags = []
+    for start, stop in segments:
+        seg = _axis_slice(used, start, stop, r_ax)
+        rref = _ref_level_padded(
+            seg, cfg_r.ref_cells, cfg_r.guard_cells, cfg_r.method, r_ax
+        )
+        rflags.append(seg >= rref * cfg_r.threshold)
+    return vflag, jnp.concatenate(rflags, axis=r_ax)
+
+
+def segmented_cfar_select(
+    rdm: jnp.ndarray,
+    vflag: jnp.ndarray,
+    rflag: jnp.ndarray,
+    segments: Sequence[Tuple[int, int]],
+    cfg: CFARConfig,
+    n_clutter: int,
+    transposed: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage B of the split cascade: per-hit strongest-neighbor resolution.
+
+    Consumes the stage-A flag planes plus the (notched) RDM and emits the
+    full-size ``(flags, vflags)`` pair, bit-identical to
+    :func:`segmented_cfar` (transposed when ``transposed=True``).
+    """
+    v_ax, r_ax = _split_axes(transposed)
+    nv = rdm.shape[v_ax]
+    lo, hi = n_clutter + 1, nv - n_clutter
+    used_full = _axis_slice(rdm, lo, hi, v_ax)
+    embed_pads = [(0, 0)] * rdm.ndim
+    embed_pads[v_ax % rdm.ndim] = (lo, nv - hi)
+    if not cfg.range_detect:
+        vflags = jnp.pad(vflag, embed_pads)
+        return vflags, vflags
+
+    ext = cfg.range_extend_cells
+    neg_inf = jnp.asarray(-jnp.inf, dtype=used_full.dtype)
+    parts = []
+    for start, stop in segments:
+        u = _axis_slice(used_full, start, stop, r_ax)
+        vf = _axis_slice(vflag, start, stop, r_ax)
+        rf = _axis_slice(rflag, start, stop, r_ax)
+        shift_f = _pad_shift(rf, ext, r_ax)
+        shift_v = _pad_shift(u, ext, r_ax)
+        if ext == 1:
+            # flag-gated comparison form, as in cascaded_cfar2d's fast path
+            f_m1, f_0, f_p1 = shift_f(-1), rf, shift_f(1)
+            v_m1, v_0, v_p1 = shift_v(-1), u, shift_v(1)
+            winner = vf & (f_m1 | f_0 | f_p1)
+            take_m1 = (
+                f_m1 & ((v_m1 >= v_0) | ~f_0) & ((v_m1 >= v_p1) | ~f_p1)
+            )
+            take_0 = ~take_m1 & f_0 & ((v_0 >= v_p1) | ~f_p1)
+            take_p1 = ~take_m1 & ~take_0 & f_p1
+            shift_w1 = _pad_shift(winner & take_m1, 1, r_ax)
+            shift_w2 = _pad_shift(winner & take_p1, 1, r_ax)
+            parts.append(shift_w1(1) | (winner & take_0) | shift_w2(-1))
+            continue
+        best_val = jnp.full(u.shape, -jnp.inf, dtype=u.dtype)
+        best_off = jnp.zeros(u.shape, dtype=jnp.int32)
+        for d in range(-ext, ext + 1):
+            val = jnp.where(shift_f(d), shift_v(d), neg_inf)
+            take = val > best_val
+            best_val = jnp.where(take, val, best_val)
+            best_off = jnp.where(take, jnp.int32(d), best_off)
+        winner = vf & (best_val > neg_inf)
+        cascade = jnp.zeros(u.shape, dtype=bool)
+        shift_c = _pad_shift
+        for d in range(-ext, ext + 1):
+            sel = winner & (best_off == d)
+            cascade = cascade | shift_c(sel, ext, r_ax)(-d)
+        parts.append(cascade)
+
+    flags = jnp.pad(jnp.concatenate(parts, axis=r_ax), embed_pads)
+    vflags = jnp.pad(vflag, embed_pads)
+    return flags, vflags
+
+
 def segmented_cfar(
     rdm: jnp.ndarray,
     segments: Sequence[Tuple[int, int]],

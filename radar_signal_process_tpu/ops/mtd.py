@@ -101,6 +101,31 @@ def doppler_process(
     return jnp.abs(spec) if magnitude else spec
 
 
+def doppler_process_range_major(
+    pc: jnp.ndarray,
+    window: np.ndarray,
+    n_fft: int | None = None,
+    shift: bool = True,
+) -> jnp.ndarray:
+    """``doppler_process`` emitting the RDM in (..., n_range, n_velocity) layout.
+
+    Bit-identical to ``doppler_process(pc, window).mT`` for (..., pulse,
+    range) inputs.  On XLA CPU the pulse-axis FFT internally works in
+    range-major order, so asking for the transposed result directly skips a
+    materialized transpose, and the downstream CFAR runs its velocity-dim
+    pass along the contiguous axis (~2x the cascade throughput; see
+    ``segmented_cfar_flags(transposed=True)``).
+    """
+    n_pulses = pc.shape[-2]
+    if window.shape[0] != n_pulses:
+        raise ValueError(f"window length {window.shape[0]} != n_pulses {n_pulses}")
+    w = jnp.asarray(window, dtype=jnp.real(pc).dtype)[:, None]
+    spec = jnp.matrix_transpose(jnp.fft.fft(pc * w, n=n_fft or n_pulses, axis=-2))
+    if shift:
+        spec = jnp.fft.fftshift(spec, axes=-1)
+    return jnp.abs(spec)
+
+
 def zero_velocity_notch(rdm: jnp.ndarray, half_width: int | None = None,
                         divisor: int = 150, velocity_axis: int = -2) -> jnp.ndarray:
     """Zero the Doppler rows around the (shifted) zero-velocity position.

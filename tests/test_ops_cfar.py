@@ -145,3 +145,149 @@ def test_cascade_tie_break_fast_path_equals_loop_path(rng):
     got2, _ = cascaded_cfar2d(jnp.asarray(rdm), cfg2, 4)   # loop path
     np.testing.assert_array_equal(np.asarray(got1), want_f1.astype(bool))
     np.testing.assert_array_equal(np.asarray(got2), want_f2.astype(bool))
+
+
+def test_split_cfar_matches_one_executable(rng):
+    """The two-executable split cascade is bit-identical to segmented_cfar.
+
+    Covers the G2 segment split, a batched RDM stack, tie-heavy quantized
+    amplitudes, and the range_detect=False degenerate path.
+    """
+    from radar_signal_process_tpu.ops import (
+        segmented_cfar_flags,
+        segmented_cfar_select,
+    )
+
+    segs = ((0, 30), (30, 104), (104, 220))
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0, method=0,
+                     range_extend_cells=1)
+    for data in (
+        _rdm_with_targets(rng, nv=160, nr=220).astype(np.float32),
+        _rdm_with_targets(rng, nv=160, nr=220),          # float64
+        rng.integers(1, 4, size=(160, 220)).astype(np.float32),  # tie-heavy
+        np.abs(rng.standard_normal((3, 160, 220))).astype(np.float32) + 0.3,
+    ):
+        rdm = jnp.asarray(data)
+        want_f, want_v = segmented_cfar(rdm, segs, cfg, 11)
+        vf, rf = segmented_cfar_flags(rdm, segs, cfg, 11)
+        got_f, got_v = segmented_cfar_select(rdm, vf, rf, segs, cfg, 11)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+    cfg_nov = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0, method=0,
+                         range_detect=False)
+    rdm = jnp.asarray(_rdm_with_targets(rng, nv=160, nr=220))
+    want_f, want_v = segmented_cfar(rdm, segs, cfg_nov, 11)
+    vf, rf = segmented_cfar_flags(rdm, segs, cfg_nov, 11)
+    got_f, got_v = segmented_cfar_select(rdm, vf, rf, segs, cfg_nov, 11)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_split_cfar_general_extension(rng):
+    """Split select stage agrees with the loop form for ext > 1."""
+    from radar_signal_process_tpu.ops import (
+        segmented_cfar_flags,
+        segmented_cfar_select,
+    )
+
+    segs = ((0, 64), (64, 120))
+    cfg = CFARConfig(ref_cells=2, guard_cells=1, threshold=1.5, method=0,
+                     range_extend_cells=2)
+    rdm = jnp.asarray(rng.integers(1, 5, size=(80, 120)).astype(np.float32))
+    want_f, want_v = segmented_cfar(rdm, segs, cfg, 6)
+    vf, rf = segmented_cfar_flags(rdm, segs, cfg, 6)
+    got_f, got_v = segmented_cfar_select(rdm, vf, rf, segs, cfg, 6)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_make_split_detector_matches_detect_rdm(rng):
+    """models.make_split_detector == detect_rdm on the G2 profile (both notch
+    orderings), including the unshifted-spectrum (G0) renotch branch."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import G0_PROFILE, G2_PROFILE
+    from radar_signal_process_tpu.models.detect import (
+        detect_rdm,
+        make_split_detector,
+    )
+
+    cfg = CFARConfig(threshold=5.0)
+    rdm = jnp.asarray(
+        np.abs(rng.standard_normal((2, 120, 300))).astype(np.float32) + 0.2
+    )
+    prof = dataclasses.replace(G2_PROFILE, cfar_segments=((0, 90), (90, 300)))
+    want_f, want_v = detect_rdm(rdm, prof, 11, cfg=cfg, use_pallas=False)
+    det = make_split_detector(prof, 11, cfg=cfg)
+    got_f, got_v = det(rdm)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    prof0 = dataclasses.replace(G0_PROFILE, cfar_segments=None)
+    want_f, want_v = detect_rdm(rdm, prof0, 11, cfg=cfg, use_pallas=False)
+    det0 = make_split_detector(prof0, 11, cfg=cfg)
+    got_f, got_v = det0(rdm)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_split_cfar_transposed_layout(rng):
+    """transposed=True on (..., n_r, n_v) RDMs matches the canonical layout."""
+    from radar_signal_process_tpu.ops import (
+        segmented_cfar_flags,
+        segmented_cfar_select,
+    )
+
+    segs = ((0, 30), (30, 104), (104, 220))
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0, method=0,
+                     range_extend_cells=1)
+    for ext in (1, 2):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, range_extend_cells=ext)
+        data = _rdm_with_targets(rng, nv=160, nr=220).astype(np.float32)
+        rdm = jnp.asarray(data)
+        want_f, want_v = segmented_cfar(rdm, segs, c, 11)
+        vf, rf = segmented_cfar_flags(rdm.T, segs, c, 11, transposed=True)
+        got_f, got_v = segmented_cfar_select(
+            rdm.T, vf, rf, segs, c, 11, transposed=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_v).T, np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_f).T, np.asarray(want_f))
+
+
+def test_doppler_range_major_and_transposed_detector(rng):
+    """range-major Doppler + transposed split detector == canonical chain."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.models.detect import (
+        detect_rdm,
+        make_split_detector,
+    )
+    from radar_signal_process_tpu.ops import (
+        doppler_process,
+        doppler_process_range_major,
+        make_window,
+        zero_velocity_notch,
+    )
+
+    pc = jnp.asarray(
+        (rng.standard_normal((64, 300)) + 1j * rng.standard_normal((64, 300)))
+        .astype(np.complex64)
+    )
+    window = make_window("kaiser", 64, 8.0)
+    rdm = zero_velocity_notch(doppler_process(pc, window), divisor=150)
+    rdm_t = zero_velocity_notch(
+        doppler_process_range_major(pc, window), divisor=150, velocity_axis=-1
+    )
+    np.testing.assert_array_equal(np.asarray(rdm).T, np.asarray(rdm_t))
+
+    prof = dataclasses.replace(G2_PROFILE, cfar_segments=((0, 90), (90, 300)))
+    cfg = CFARConfig(threshold=5.0)
+    want_f, want_v = detect_rdm(rdm, prof, 7, cfg=cfg, use_pallas=False)
+    det_t = make_split_detector(prof, 7, cfg=cfg, transposed=True)
+    got_f, got_v = det_t(rdm_t)
+    np.testing.assert_array_equal(np.asarray(got_f).T, np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(got_v).T, np.asarray(want_v))
