@@ -119,11 +119,8 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
 
     from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
     from radar_signal_process_tpu.models.detect import detect_rdm
-    from radar_signal_process_tpu.models.mtd_pipeline import (
-        mtd_window_produce,
-        slice_cpi_window,
-    )
-    from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_window_produce
+    from radar_signal_process_tpu.ops.mtd import zero_velocity_notch
     from radar_signal_process_tpu.ops.pulse_compression import (
         segmented_pulse_compression,
     )
@@ -160,27 +157,40 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
         # Each chunk compresses its PRT rows once on the doubled window
         # (``mtd_window_produce`` semantics), then runs Doppler+notch and
         # CFAR per CPI slice.
+        import functools
         import threading
+
+        from radar_signal_process_tpu.models.mtd_pipeline import (
+            window_slice_starts,
+        )
 
         pulses = reference_pulses(prof)
         window = make_window(prof.mtd.window, prof.prt_per_frame,
                              prof.mtd.window_beta)
         n_threads = max(1, min(os.cpu_count() or 1, prof.n_beams))
+        starts = window_slice_starts(prof.prt_per_frame, 4)
 
         @jax.jit
-        def pc_slices_fn(beams):                         # (b, 664, 3404)
-            pc = segmented_pulse_compression(beams, prof, pulses)
-            slices = slice_cpi_window(pc, 4)             # (b, 4, 332, 3404)
-            return slices.reshape((-1,) + slices.shape[2:])
+        def pc_fn(beams):                                # (b, 664, 3404)
+            return segmented_pulse_compression(beams, prof, pulses)
 
         from radar_signal_process_tpu.ops.mtd import doppler_process_range_major
 
-        @jax.jit
-        def rdm_fn(pc_slice):                            # (332, 3404) -> (3404, 332)
+        # beam index traced, CPI-slice start static: the window slice and
+        # the Doppler transform live in ONE executable, so no 18 MB CPI
+        # slice (nor the stacked (b, 4, 332, 3404) slice tensor) is ever
+        # materialized — eager per-slice indexing cost the threaded chain
+        # ~940 MB of copies per frame (~20% wall)
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def rdm_fn(pc, i, start):                        # -> (3404, 332)
+            sl = jax.lax.dynamic_slice_in_dim(pc, i, 1, axis=0)[0]
+            sl = jax.lax.slice_in_dim(
+                sl, start, start + prof.prt_per_frame, axis=-2
+            )
             # range-major layout: the pulse-axis FFT works range-major
             # internally on XLA CPU (no transpose materialized) and the
             # CFAR velocity pass runs along the contiguous axis
-            rdm = doppler_process_range_major(pc_slice, window)
+            rdm = doppler_process_range_major(sl, window)
             return zero_velocity_notch(
                 rdm, divisor=prof.mtd.notch_divisor, velocity_axis=-1
             )
@@ -213,11 +223,12 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
 
             def run(i, part):
                 try:
-                    flat = pc_slices_fn(part)
+                    pc = pc_fn(part)
                     acc = None
-                    for j in range(flat.shape[0]):
-                        s = cfar_fn(rdm_fn(flat[j]))
-                        acc = s if acc is None else acc + s
+                    for b in range(part.shape[0]):
+                        for start in starts:
+                            s = cfar_fn(rdm_fn(pc, jnp.int32(b), start))
+                            acc = s if acc is None else acc + s
                     out[i] = acc
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     errors.append(e)
