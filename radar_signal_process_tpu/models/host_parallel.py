@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_signal_process_tpu.config import CFARConfig, RadarProfile
-from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
 from radar_signal_process_tpu.ops.mtd import doppler_process, zero_velocity_notch
 from radar_signal_process_tpu.ops.pulse_compression import segmented_pulse_compression
 from radar_signal_process_tpu.ops.waveforms import reference_pulses
@@ -57,24 +56,36 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
     with compression-once-per-window semantics and per-slice Doppler+notch,
     beam chunks fanned out over host threads.
     """
+    import functools
+
+    from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
+
     pulses = reference_pulses(profile)
     window = make_window(
         profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
     )
     n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
+    starts = window_slice_starts(profile.prt_per_frame, win_size)
 
     @jax.jit
-    def pc_slices_fn(beams):                     # (b, 2*prt, pts)
-        pc = segmented_pulse_compression(beams, profile, pulses)
-        return slice_cpi_window(pc, win_size)    # (b, win, prt, pts)
+    def pc_fn(beams):                            # (b, 2*prt, pts)
+        return segmented_pulse_compression(beams, profile, pulses)
 
-    @jax.jit
-    def rdm_fn(pc_slice):                        # (prt, pts)
+    # beam index traced + static slice start: the CPI slice stays inside
+    # the Doppler executable, so neither the stacked slice tensor nor an
+    # eager per-slice copy is ever materialized (the copies contended for
+    # memory bandwidth with both worker threads; see bench.py)
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def rdm_fn(pc, b, start):                    # -> (prt, pts)
+        sl = jax.lax.dynamic_slice_in_dim(pc, b, 1, axis=0)[0]
+        sl = jax.lax.slice_in_dim(
+            sl, start, start + profile.prt_per_frame, axis=-2
+        )
         if profile.mtd.mti_lag:
             from radar_signal_process_tpu.ops.mtd import mti_cancel
 
-            pc_slice = mti_cancel(pc_slice, lag=profile.mtd.mti_lag)
-        rdm = doppler_process(pc_slice, window, shift=profile.mtd.fftshift)
+            sl = mti_cancel(sl, lag=profile.mtd.mti_lag)
+        rdm = doppler_process(sl, window, shift=profile.mtd.fftshift)
         if profile.mtd.notch_divisor:
             rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
         return rdm
@@ -92,10 +103,12 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
 
         def work(ci: int) -> None:
             lo, hi = chunks[ci]
-            slices = pc_slices_fn(win[lo:hi])
+            pc = pc_fn(win[lo:hi])
             for b in range(hi - lo):
-                for w in range(win_size):
-                    out[lo + b, w] = np.asarray(rdm_fn(slices[b, w]))
+                for w, start in enumerate(starts):
+                    out[lo + b, w] = np.asarray(
+                        rdm_fn(pc, jnp.int32(b), start)
+                    )
 
         _thread_map(work, len(chunks))
         return out
