@@ -33,7 +33,11 @@ from radar_signal_process_tpu.config import (
     NARROW_PULSE_FIR_TAPS,
     RadarProfile,
 )
-from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
+from radar_signal_process_tpu.ops.cfar import (
+    cascaded_cfar2d,
+    segmented_cfar_flags,
+    segmented_cfar_select,
+)
 from radar_signal_process_tpu.ops.measure import (
     DetectionList,
     Measurements,
@@ -73,6 +77,7 @@ class G0Chain:
         match_waveform: np.ndarray | None = None,
         power_norm: bool = True,
         max_detections: int = 32,
+        use_split: bool | None = None,
     ):
         self.profile = profile
         self.chain = chain
@@ -124,7 +129,30 @@ class G0Chain:
         )
         self.k_value = float(angle_k_values(chain.sys_num)[freq_index, beam_pos])
 
+        # XLA CPU re-computes fused producers into every consumer within one
+        # executable (see docs/tpu_design.md), so on CPU the chain runs as
+        # Python-composed stage executables with the split CFAR cascade —
+        # measured ~2.2x the one-executable form, bit-identical results.
+        # TPU keeps the single jit (Pallas RDM/CFAR kernels inside).
+        if use_split is None:
+            use_split = jax.default_backend() != "tpu"
+        self._use_split = use_split
         self._process = jax.jit(self._process_impl)
+        self._front = jax.jit(self._front_impl)
+        self._finish = jax.jit(self._finish_impl)
+        cfar, nc = self.profile.cfar, self.n_clutter
+
+        @jax.jit
+        def _cfar_flags(rdm):
+            return segmented_cfar_flags(rdm, ((0, rdm.shape[-1]),), cfar, nc)
+
+        @jax.jit
+        def _cfar_select(rdm, vf, rf):
+            return segmented_cfar_select(
+                rdm, vf, rf, ((0, rdm.shape[-1]),), cfar, nc
+            )
+
+        self._cfar_flags, self._cfar_select = _cfar_flags, _cfar_select
 
     def compensate_angle(self, angle_code: np.ndarray) -> np.ndarray:
         """North-angle compensation: rem(angle + northAngle + angleE1, 360) (:310)."""
@@ -170,10 +198,8 @@ class G0Chain:
             )
         return jnp.abs(self._mtd(mf))
 
-    def _process_impl(self, left: jnp.ndarray, right: jnp.ndarray) -> G0FrameResult:
-        prof = self.profile
-        cfar = prof.cfar
-
+    def _front_impl(self, left: jnp.ndarray, right: jnp.ndarray):
+        """PC -> |MTD| -> monopulse sum/diff -> clutter notch."""
         short_mf, long_mf = self._pc(left, right)
         abs_short = self._mtd_mag(short_mf)   # (2, mtd_fft, point_short)
         abs_long = self._mtd_mag(long_mf)     # (2, mtd_fft, pc_fft)
@@ -184,6 +210,13 @@ class G0Chain:
 
         sum_short = zero_velocity_notch_unshifted(sum_short, self.n_clutter)
         sum_long = zero_velocity_notch_unshifted(sum_long, self.n_clutter)
+        return sum_short, sum_long, diff_short, diff_long
+
+    def _process_impl(self, left: jnp.ndarray, right: jnp.ndarray) -> G0FrameResult:
+        prof = self.profile
+        cfar = prof.cfar
+
+        sum_short, sum_long, diff_short, diff_long = self._front_impl(left, right)
 
         if jax.default_backend() == "tpu":
             from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
@@ -198,6 +231,22 @@ class G0Chain:
             flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, self.n_clutter)
             flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, self.n_clutter)
 
+        dets_s, dets_l, meas_s, meas_l = self._finish_impl(
+            sum_short, sum_long, diff_short, diff_long, flags_s, flags_l
+        )
+        return G0FrameResult(
+            rdm_sum_short=sum_short, rdm_sum_long=sum_long,
+            rdm_diff_short=diff_short, rdm_diff_long=diff_long,
+            flags_short=flags_s, flags_long=flags_l,
+            vflags_short=vflags_s, vflags_long=vflags_l,
+            detections_short=dets_s, detections_long=dets_l,
+            measurements_short=meas_s, measurements_long=meas_l,
+        )
+
+    def _finish_impl(self, sum_short, sum_long, diff_short, diff_long,
+                     flags_s, flags_l):
+        """CFAR flags -> padded detection lists -> sub-bin measurements."""
+        prof = self.profile
         dets_s = extract_detections(flags_s, sum_short, self.max_detections)
         dets_l = extract_detections(flags_l, sum_long, self.max_detections)
 
@@ -221,15 +270,25 @@ class G0Chain:
         meas_l = motion_parameters(
             sum_long, diff_long, dets_l, r_scale=self.r_scale_long, **common
         )
+        return dets_s, dets_l, meas_s, meas_l
+
+    def process_frame(self, left, right) -> G0FrameResult:
+        """Process one frame: ``left``/``right`` (prt_per_frame, point_prt)."""
+        if not self._use_split:
+            return self._process(jnp.asarray(left), jnp.asarray(right))
+        ss, sl, ds, dl = self._front(jnp.asarray(left), jnp.asarray(right))
+        vf_s, rf_s = self._cfar_flags(ss)
+        flags_s, vflags_s = self._cfar_select(ss, vf_s, rf_s)
+        vf_l, rf_l = self._cfar_flags(sl)
+        flags_l, vflags_l = self._cfar_select(sl, vf_l, rf_l)
+        dets_s, dets_l, meas_s, meas_l = self._finish(
+            ss, sl, ds, dl, flags_s, flags_l
+        )
         return G0FrameResult(
-            rdm_sum_short=sum_short, rdm_sum_long=sum_long,
-            rdm_diff_short=diff_short, rdm_diff_long=diff_long,
+            rdm_sum_short=ss, rdm_sum_long=sl,
+            rdm_diff_short=ds, rdm_diff_long=dl,
             flags_short=flags_s, flags_long=flags_l,
             vflags_short=vflags_s, vflags_long=vflags_l,
             detections_short=dets_s, detections_long=dets_l,
             measurements_short=meas_s, measurements_long=meas_l,
         )
-
-    def process_frame(self, left, right) -> G0FrameResult:
-        """Process one frame: ``left``/``right`` (prt_per_frame, point_prt)."""
-        return self._process(jnp.asarray(left), jnp.asarray(right))

@@ -162,3 +162,28 @@ def test_g0_pc_and_mtd_match_numpy_oracle(rng):
     mtd = chain._mtd(jnp.asarray(want[None]))
     want_mtd = np.fft.fft(want * w[:, None], 2048, axis=0)
     np.testing.assert_allclose(np.asarray(mtd[0]), want_mtd, rtol=1e-9, atol=1e-7)
+
+
+def test_g0_split_path_matches_one_executable():
+    """The CPU Python-composed G0 chain == the single-jit chain, bit-exact."""
+    import jax
+
+    from radar_signal_process_tpu.config import G0_PROFILE
+    from radar_signal_process_tpu.models.g0_chain import G0Chain
+
+    rng = np.random.default_rng(5)
+    prof = G0_PROFILE
+    shape = (prof.prt_per_frame, prof.point_prt)
+    left = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+    right = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex64
+    )
+    res_split = G0Chain(prof, use_split=True).process_frame(left, right)
+    res_one = G0Chain(prof, use_split=False).process_frame(left, right)
+    for a, b, name in zip(res_split, res_one, res_split._fields):
+        ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        for x, y in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=name)
