@@ -15,9 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radar_signal_process_tpu.config import CFARConfig, RadarProfile
+from radar_signal_process_tpu.config import RadarProfile
 from radar_signal_process_tpu.evalx.metrics import TruthGate, evaluate_frames
-from radar_signal_process_tpu.models.detect import clutter_cells, detect_rdm
+from radar_signal_process_tpu.models.detect import clutter_cells
 from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
 from radar_signal_process_tpu.sim import (
     add_clutter,
@@ -50,20 +50,40 @@ def sweep_thresholds(
     r_cell = seg_start + int(round(range_m / profile.delta_r))
     r_true_global = r_axis[r_cell]
 
+    from radar_signal_process_tpu.ops.cfar import (
+        segmented_cfar_from_ref_levels,
+        segmented_cfar_ref_levels,
+    )
+    from radar_signal_process_tpu.ops.mtd import (
+        zero_velocity_notch,
+        zero_velocity_notch_unshifted,
+    )
+
+    cfg = profile.cfar
+    segments = profile.cfar_segments or ((0, profile.point_prt),)
+
+    # The CA-CFAR reference levels are threshold-independent, so the sweep
+    # runs MTD + the sliding-window means ONCE per frame and re-runs only
+    # the compare + cascade per threshold (traced scalar: one executable
+    # covers the whole threshold axis).
     @jax.jit
-    def chain(echo, threshold):
+    def prep(echo):
         rdm = mtd_produce(echo, profile)
-        cfg = CFARConfig(
-            ref_cells=profile.cfar.ref_cells,
-            guard_cells=profile.cfar.guard_cells,
-            threshold=threshold,
-            method=profile.cfar.method,
+        rdmn = rdm
+        if renotch_divisor:
+            if profile.mtd.fftshift:
+                rdmn = zero_velocity_notch(rdm, divisor=renotch_divisor)
+            else:
+                rdmn = zero_velocity_notch_unshifted(rdm, n_clutter)
+        vref, rref = segmented_cfar_ref_levels(rdmn, segments, cfg, n_clutter)
+        return rdm, rdmn, vref, rref
+
+    @jax.jit
+    def flags_at(rdmn, vref, rref, threshold):
+        flags, _ = segmented_cfar_from_ref_levels(
+            rdmn, vref, rref, threshold, segments, cfg, n_clutter
         )
-        flags, _ = detect_rdm(
-            rdm, profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
-            use_pallas=False,
-        )
-        return rdm, flags
+        return flags
 
     results = {}
     target = synthesize_target_echo(profile, velocity_ms, range_m, n_pulses=n)
@@ -73,13 +93,11 @@ def sweep_thresholds(
         for f in range(n_frames):
             clutter = synthetic_clutter(profile, n_pulses=n, seed=seed + 97 * f)
             echo = add_clutter(apply_scr(target, clutter, scr, profile), clutter)
-            echo_j = jnp.asarray(echo)
-            rdm_saved = None
+            rdm, rdmn, vref, rref = prep(jnp.asarray(echo))
             for t in thresholds:
-                rdm, flags = chain(echo_j, float(t))
+                flags = flags_at(rdmn, vref, rref, float(t))
                 frames_flags[t].append(np.asarray(flags))
-                rdm_saved = rdm
-            frames_rdm.append(np.asarray(rdm_saved))
+            frames_rdm.append(np.asarray(rdm))
         for t in thresholds:
             metrics = evaluate_frames(
                 frames_flags[t],

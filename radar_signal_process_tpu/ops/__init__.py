@@ -26,6 +26,8 @@ from radar_signal_process_tpu.ops.cfar import (  # noqa: F401
     segmented_cfar,
     segmented_cfar_flags,
     segmented_cfar_select,
+    segmented_cfar_ref_levels,
+    segmented_cfar_from_ref_levels,
 )
 from radar_signal_process_tpu.ops.dbf import apply_dbf  # noqa: F401
 from radar_signal_process_tpu.ops.measure import (  # noqa: F401

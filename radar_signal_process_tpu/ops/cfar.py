@@ -347,6 +347,69 @@ def segmented_cfar_flags(
     return vflag, jnp.concatenate(rflags, axis=r_ax)
 
 
+def segmented_cfar_ref_levels(
+    rdm: jnp.ndarray,
+    segments: Sequence[Tuple[int, int]],
+    cfg: CFARConfig,
+    n_clutter: int,
+    cfg_range: CFARConfig | None = None,
+    transposed: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Threshold-independent reference levels ``(vref, rref)``.
+
+    The CA-CFAR reference level (GO/SO of the left/right window means) does
+    not depend on the threshold, so a threshold sweep (the reference's
+    ``for T=[...]`` loop, ``main_cfar.m:40``) computes these once per RDM and
+    re-runs only the compare + cascade per ``T`` —
+    see :func:`segmented_cfar_from_ref_levels`.
+    """
+    cfg_r = cfg_range or cfg
+    v_ax, r_ax = _split_axes(transposed)
+    lo, hi = n_clutter + 1, rdm.shape[v_ax] - n_clutter
+    used = _axis_slice(rdm, lo, hi, v_ax)
+    vref = _ref_level_padded(used, cfg.ref_cells, cfg.guard_cells, cfg.method, v_ax)
+    rrefs = []
+    for start, stop in segments:
+        seg = _axis_slice(used, start, stop, r_ax)
+        rrefs.append(
+            _ref_level_padded(
+                seg, cfg_r.ref_cells, cfg_r.guard_cells, cfg_r.method, r_ax
+            )
+        )
+    return vref, jnp.concatenate(rrefs, axis=r_ax)
+
+
+def segmented_cfar_from_ref_levels(
+    rdm: jnp.ndarray,
+    vref: jnp.ndarray,
+    rref: jnp.ndarray,
+    threshold: jnp.ndarray | float,
+    segments: Sequence[Tuple[int, int]],
+    cfg: CFARConfig,
+    n_clutter: int,
+    threshold_range: jnp.ndarray | float | None = None,
+    transposed: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cascade flags from precomputed reference levels at a (traced) threshold.
+
+    ``threshold`` may be a traced scalar, so one compiled executable covers a
+    whole sweep.  Bit-identical to :func:`segmented_cfar` with
+    ``cfg.threshold == threshold`` for the same RDM.
+    """
+    t_r = threshold if threshold_range is None else threshold_range
+    v_ax, _ = _split_axes(transposed)
+    lo, hi = n_clutter + 1, rdm.shape[v_ax] - n_clutter
+    used = _axis_slice(rdm, lo, hi, v_ax)
+    vflag = used >= vref * threshold
+    if not cfg.range_detect:
+        rflag = vflag
+    else:
+        rflag = used >= rref * t_r
+    return segmented_cfar_select(
+        rdm, vflag, rflag, segments, cfg, n_clutter, transposed=transposed
+    )
+
+
 def segmented_cfar_select(
     rdm: jnp.ndarray,
     vflag: jnp.ndarray,

@@ -291,3 +291,26 @@ def test_doppler_range_major_and_transposed_detector(rng):
     got_f, got_v = det_t(rdm_t)
     np.testing.assert_array_equal(np.asarray(got_f).T, np.asarray(want_f))
     np.testing.assert_array_equal(np.asarray(got_v).T, np.asarray(want_v))
+
+
+def test_cfar_ref_level_sweep_matches_full_cascade(rng):
+    """Precomputed ref levels + traced threshold == segmented_cfar per T."""
+    import dataclasses
+
+    from radar_signal_process_tpu.ops import (
+        segmented_cfar_from_ref_levels,
+        segmented_cfar_ref_levels,
+    )
+
+    segs = ((0, 64), (64, 180))
+    rdm = jnp.asarray(_rdm_with_targets(rng, nv=140, nr=180).astype(np.float32))
+    base = CFARConfig(ref_cells=5, guard_cells=7, threshold=1.0, method=0)
+    vref, rref = segmented_cfar_ref_levels(rdm, segs, base, 9)
+    for t in (2.0, 5.0, 9.5):
+        cfg_t = dataclasses.replace(base, threshold=t)
+        want_f, want_v = segmented_cfar(rdm, segs, cfg_t, 9)
+        got_f, got_v = segmented_cfar_from_ref_levels(
+            rdm, vref, rref, t, segs, base, 9
+        )
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
