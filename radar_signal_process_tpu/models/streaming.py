@@ -50,6 +50,7 @@ class StreamingPipeline:
         beam: int = 0,
         win_slice: int = 0,
         dbf_coeffs: np.ndarray | None = None,
+        use_host_parallel: bool | None = None,
     ):
         self.reader = reader
         self.profile = profile
@@ -62,7 +63,19 @@ class StreamingPipeline:
         self.beam = beam
         self.win_slice = win_slice
         self.counters = Counters()
-        self._process = make_frame_processor(profile, win_size)
+        # CPU backends run the frame chain as host-threaded composed stage
+        # executables (see models/host_parallel.py); TPU keeps the single
+        # batched jit with the fused Pallas kernels.
+        if use_host_parallel is None:
+            use_host_parallel = jax.default_backend() == "cpu"
+        if use_host_parallel:
+            from radar_signal_process_tpu.models.host_parallel import (
+                make_cpu_frame_processor,
+            )
+
+            self._process = make_cpu_frame_processor(profile, win_size)
+        else:
+            self._process = make_frame_processor(profile, win_size)
         self._detector = make_detector(
             profile,
             n_clutter=clutter_cells(profile, profile.prt_per_frame, clutter_v),

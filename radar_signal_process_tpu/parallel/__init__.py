@@ -15,4 +15,7 @@ from radar_signal_process_tpu.parallel.sharding import (  # noqa: F401
     halo_exchange,
     sharded_cfar1d_ref_level,
     make_sharded_pipeline,
+    make_sharded_e2e,
+    make_pipeline_parallel,
+    make_expert_parallel,
 )

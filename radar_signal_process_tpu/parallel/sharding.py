@@ -384,3 +384,220 @@ def make_sharded_e2e(
 def shard_batch(mesh: Mesh, axis: str = "dp"):
     """NamedSharding placing the leading batch axis on ``axis``."""
     return NamedSharding(mesh, P(axis))
+
+
+# ------------------------------------------------------------------ pipeline-parallel
+def make_pipeline_parallel(
+    profile: RadarProfile,
+    mesh: Mesh,
+    cfg: CFARConfig | None = None,
+    n_clutter: int = 14,
+    pp_axis: str = "pp",
+    segmented: bool = True,
+):
+    """GPipe-style pipeline parallelism over the radar chain stages.
+
+    The chain is cut into ``pp`` stages assigned one-per-device along the
+    ``pp`` mesh axis — the radar analogue of layer pipelining:
+
+    * 2 stages: [pulse compression | Doppler + notch + CFAR]
+    * 3 stages: [pulse compression | windowed Doppler transform |
+      magnitude + notch + CFAR]
+
+    Microbatches (beams) flow through the stage ring: each tick every device
+    applies its stage to its in-flight microbatch and ``ppermute``s the
+    activation to the next stage while stage 0 ingests the next microbatch —
+    the classic 1F schedule with ``n_micro + pp - 1`` ticks, expressed as a
+    ``lax.scan`` so XLA sees one compiled loop with one collective per tick.
+
+    Activations stay a uniform ``(n_pulses, n_points)`` complex64 buffer
+    across the ring (the final stage encodes ``rdm + 1j*flags``), so the
+    ppermute link shape is stage-independent.
+
+    Returns ``run(echo) -> (rdm, flags)`` for ``echo`` of shape
+    ``(n_micro, n_pulses, n_points)``; results are bit-identical to the
+    unsharded ``mtd_produce`` + ``segmented_cfar`` chain.
+    """
+    cfg = cfg or profile.cfar
+    pulses = reference_pulses(profile)
+    n_pp = mesh.shape[pp_axis]
+    if n_pp not in (2, 3):
+        raise ValueError(f"pipeline depth must be 2 or 3, got {n_pp}")
+    segments = profile.cfar_segments if segmented else ()
+    if segments and segments[-1][1] != profile.point_prt:
+        segments = ()
+
+    from radar_signal_process_tpu.ops.cfar import segmented_cfar
+
+    def s_pc(x):
+        return segmented_pulse_compression(x, profile, pulses)
+
+    def _window(n_pulses):
+        return make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
+
+    def s_doppler_spec(x):
+        # windowed (shifted) Doppler spectrum, complex — magnitude deferred
+        w = jnp.asarray(_window(x.shape[-2]), dtype=jnp.float32)[:, None]
+        spec = jnp.fft.fft(x * w, axis=-2)
+        if profile.mtd.fftshift:
+            spec = jnp.fft.fftshift(spec, axes=-2)
+        return spec
+
+    def _cfar_encode(rdm):
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        segs = segments or ((0, rdm.shape[-1]),)
+        flags, _ = segmented_cfar(rdm, segs, cfg, n_clutter)
+        return rdm + 1j * flags.astype(jnp.float32)
+
+    def s_rdm_cfar(x):          # 2-stage tail: PC activation in
+        w = _window(x.shape[-2])
+        rdm = doppler_process(x, w, shift=profile.mtd.fftshift)
+        return _cfar_encode(rdm)
+
+    def s_mag_cfar(x):          # 3-stage tail: complex spectrum in
+        return _cfar_encode(jnp.abs(x))
+
+    stages = (
+        [s_pc, s_rdm_cfar] if n_pp == 2 else [s_pc, s_doppler_spec, s_mag_cfar]
+    )
+
+    def pipe(echo):
+        # echo: (n_micro, n_pulses, n_points) — replicated; stage 0 ingests
+        n_micro = echo.shape[0]
+        ticks = n_micro + n_pp - 1
+        stage = lax.axis_index(pp_axis)
+        to_next = [(i, (i + 1) % n_pp) for i in range(n_pp)]
+
+        def stage_fn(x):
+            return lax.switch(stage, stages, x)
+
+        # xs[t] is what stage 0 ingests for tick t+1 (tick 0 uses echo[0])
+        pad = jnp.zeros((n_pp - 1,) + echo.shape[1:], echo.dtype)
+        xs = jnp.concatenate([echo[1:], pad, pad[:1]], axis=0)[:ticks]
+
+        def body(buf, x_t):
+            y = stage_fn(buf)
+            recv = lax.ppermute(y, pp_axis, to_next)
+            buf_next = jnp.where(stage == 0, x_t, recv)
+            return buf_next, y
+
+        buf0 = jnp.where(stage == 0, echo[0], jnp.zeros_like(echo[0]))
+        _, ys = lax.scan(body, buf0, xs)
+        return ys[None]          # (1, ticks, n_pulses, n_points) per stage
+
+    mapped = jax.shard_map(
+        pipe,
+        mesh=mesh,
+        in_specs=P(),            # replicated input
+        out_specs=P(pp_axis),    # (n_pp, ticks, ...) stacked by stage
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(echo: jnp.ndarray):
+        ys = mapped(echo)
+        out = ys[-1, n_pp - 1 : n_pp - 1 + echo.shape[0]]  # drained tail
+        return jnp.real(out), jnp.imag(out) > 0.5
+
+    return run
+
+
+# ------------------------------------------------------------------ expert-parallel
+def make_expert_parallel(
+    profile: RadarProfile,
+    mesh: Mesh,
+    calibrations,
+    ep_axis: str = "ep",
+    capacity: int | None = None,
+):
+    """Expert parallelism: per-beam calibration experts with MoE routing.
+
+    The radar analogue of mixture-of-experts: each beam position has its own
+    receive-gain calibration curve (the per-beam-dependent parameters the
+    reference bakes into its K-value / angle tables), and the full table is
+    too large to replicate at scale — so the curves are SHARDED across the
+    ``ep`` mesh axis, one beam-group of "experts" per device.  Frames are
+    routed to the device owning their beam's expert with the standard MoE
+    dispatch: sort by destination, pack per-destination buckets of static
+    ``capacity``, one ``all_to_all``, expert-local compute (calibration +
+    segmented pulse compression), and a second ``all_to_all`` + un-scatter to
+    restore frame order.
+
+    Frames beyond a bucket's capacity are dropped (zero output), exactly like
+    MoE token dropping; the default capacity (``F_local``, the worst case)
+    never drops — pass a tighter ``capacity`` (e.g. the MoE-style
+    ``factor * F_local // n_ep``) to trade padding for drops.
+
+    ``calibrations``: (n_beams, n_points) real gain curves; n_beams must be
+    divisible by mesh["ep"].  Returns ``run(frames, beam_ids) ->
+    compressed`` with frames (n_frames, n_pulses, n_points) complex and
+    beam_ids (n_frames,) int32; output matches
+    ``segmented_pulse_compression(frames * calibrations[beam_ids][:, None, :])``
+    for every routed frame.
+    """
+    pulses = reference_pulses(profile)
+    cal = jnp.asarray(calibrations)
+    n_beams = cal.shape[0]
+    n_ep = mesh.shape[ep_axis]
+    if n_beams % n_ep:
+        raise ValueError(f"n_beams {n_beams} not divisible by ep={n_ep}")
+    beams_per = n_beams // n_ep
+
+    def step(x_local, bid_local, cal_local):
+        # x_local: (F, prt, pts); bid_local: (F,); cal_local: (beams_per, pts)
+        f_local = x_local.shape[0]
+        cap = capacity or f_local
+        dest = bid_local // beams_per                      # owning device
+        order = jnp.argsort(dest, stable=True)
+        sdest = dest[order]
+        group_start = jnp.searchsorted(sdest, jnp.arange(n_ep), side="left")
+        rank = jnp.arange(f_local) - group_start[sdest]
+        kept = rank < cap
+        slot = jnp.where(kept, rank, cap)                  # cap = out of bounds
+
+        send = jnp.zeros((n_ep, cap) + x_local.shape[1:], x_local.dtype)
+        send = send.at[sdest, slot].set(x_local[order], mode="drop")
+        send_bid = jnp.full((n_ep, cap), -1, jnp.int32)
+        send_bid = send_bid.at[sdest, slot].set(
+            bid_local[order].astype(jnp.int32), mode="drop"
+        )
+
+        recv = lax.all_to_all(send, ep_axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+        recv_bid = lax.all_to_all(send_bid, ep_axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+
+        # expert-local compute: calibrate by the frame's own beam curve,
+        # then compress.  Invalid slots (bid -1) produce zeros.
+        local_beam = recv_bid - lax.axis_index(ep_axis) * beams_per
+        valid = recv_bid >= 0
+        gain = cal_local[jnp.clip(local_beam, 0, beams_per - 1)]  # (n_ep, cap, pts)
+        y = recv * jnp.where(valid[..., None], gain, 0.0)[..., None, :].astype(
+            recv.dtype
+        )
+        y = segmented_pulse_compression(y, profile, pulses)
+
+        back = lax.all_to_all(y, ep_axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+        gathered = back[sdest, jnp.clip(slot, 0, cap - 1)]
+        gathered = jnp.where(kept[:, None, None], gathered, 0.0)
+        out = jnp.zeros_like(gathered)
+        out = out.at[order].set(gathered)
+        return out
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(ep_axis), P(ep_axis), P(ep_axis, None)),
+        out_specs=P(ep_axis),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(frames: jnp.ndarray, beam_ids: jnp.ndarray):
+        # the calibration table enters SHARDED over ep (the expert axis):
+        # device d holds rows [d*beams_per, (d+1)*beams_per)
+        return mapped(frames, beam_ids, cal)
+
+    return run

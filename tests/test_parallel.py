@@ -231,3 +231,65 @@ def test_sharded_e2e_drops_stale_segments(rng):
     rdm_u = mtd_produce(echo, prof)
     flags_u, _ = cascaded_cfar2d(rdm_u, cfg, 4)   # whole-width, no segments
     np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_pipeline_parallel_matches_unsharded(rng, depth):
+    """GPipe-style stage pipeline == unsharded chain, bit-exact, both depths."""
+    import dataclasses
+
+    from radar_signal_process_tpu.parallel.sharding import make_pipeline_parallel
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    cfg = CFARConfig(threshold=5.0)
+    mesh = make_mesh(("pp",), shape=(depth,), devices=jax.devices()[:depth])
+    run = make_pipeline_parallel(prof, mesh, cfg, n_clutter=4)
+
+    echo = (rng.standard_normal((5, 64, prof.point_prt))
+            + 1j * rng.standard_normal((5, 64, prof.point_prt))
+            ).astype(np.complex64)
+    rdm_pp, flags_pp = run(jnp.asarray(echo))
+
+    rdm_u = mtd_produce(jnp.asarray(echo), prof)
+    flags_u, _ = segmented_cfar(rdm_u, prof.cfar_segments, cfg, 4)
+    np.testing.assert_array_equal(np.asarray(rdm_pp), np.asarray(rdm_u))
+    np.testing.assert_array_equal(np.asarray(flags_pp), np.asarray(flags_u))
+
+
+def test_expert_parallel_beam_calibration_matches_unsharded(rng):
+    """MoE-routed per-beam calibration experts == per-frame gather + compress."""
+    import dataclasses
+
+    from radar_signal_process_tpu.ops.pulse_compression import (
+        segmented_pulse_compression,
+    )
+    from radar_signal_process_tpu.ops.waveforms import reference_pulses
+    from radar_signal_process_tpu.parallel.sharding import make_expert_parallel
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=16, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    n_ep, n_beams = 4, 8
+    mesh = make_mesh(("ep",), shape=(n_ep,), devices=jax.devices()[:n_ep])
+    cal = (0.5 + rng.random((n_beams, prof.point_prt))).astype(np.float32)
+
+    n_frames = 16  # 4 per device; beams balanced so nothing drops
+    frames = (rng.standard_normal((n_frames, 16, prof.point_prt))
+              + 1j * rng.standard_normal((n_frames, 16, prof.point_prt))
+              ).astype(np.complex64)
+    beam_ids = np.arange(n_frames, dtype=np.int32) % n_beams
+
+    run = make_expert_parallel(prof, mesh, cal)
+    got = run(jnp.asarray(frames), jnp.asarray(beam_ids))
+
+    pulses = reference_pulses(prof)
+    want = segmented_pulse_compression(
+        jnp.asarray(frames * cal[beam_ids][:, None, :]), prof, pulses
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
