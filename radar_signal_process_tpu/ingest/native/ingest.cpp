@@ -12,6 +12,8 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -77,7 +79,41 @@ struct G2Reader {
     int bytes_head, bytes_realtime, bytes_tail;
     int current_prt = 0;
     int last_frame_idx = -1;
+    // staging for the two-phase (read | convert) parse
+    std::vector<uint8_t> staging;
+    std::vector<int> prt_data_type;
+    std::vector<int> prt_pad1;
 };
+
+// Convert one PRT payload into interleaved float32 I/Q.
+void convert_prt(const uint8_t* buf, float* out, int pts, int ch,
+                 int data_type, int pad1) {
+    if (data_type == 0) {
+        const int16_t* d = reinterpret_cast<const int16_t*>(buf);
+        const int n = pts * ch;
+        for (int i = 0; i < n; ++i) {
+            out[i * 2] = (float)d[i];
+            out[i * 2 + 1] = 0.f;
+        }
+    } else if (data_type == 1) {
+        const int16_t* d = reinterpret_cast<const int16_t*>(buf);
+        const int n = pts * ch * 2;  // single linear pass: auto-vectorizes
+        for (int i = 0; i < n; ++i) out[i] = (float)d[i];
+    } else {
+        const int row = ch * 6 + pad1;
+        for (int s = 0; s < pts; ++s) {
+            const uint8_t* p = buf + (size_t)s * row;
+            for (int c = 0; c < ch; ++c) {
+                uint32_t vi = (uint32_t)p[c * 6] | ((uint32_t)p[c * 6 + 1] << 8) |
+                              ((uint32_t)p[c * 6 + 2] << 16);
+                uint32_t vq = (uint32_t)p[c * 6 + 3] | ((uint32_t)p[c * 6 + 4] << 8) |
+                              ((uint32_t)p[c * 6 + 5] << 16);
+                out[((size_t)s * ch + c) * 2] = (float)sign24(vi);
+                out[((size_t)s * ch + c) * 2 + 1] = (float)sign24(vq);
+            }
+        }
+    }
+}
 
 }  // namespace
 
@@ -184,34 +220,7 @@ int rsp_g2_read_frame(void* h, int frame_idx, float* iq, double* angles,
         }
 
         float* out = iq + (size_t)r->current_prt * pts * ch * 2;
-        if (data_type == 0) {
-            const int16_t* d = reinterpret_cast<const int16_t*>(buf);
-            for (int s = 0; s < pts; ++s)
-                for (int c = 0; c < ch; ++c) {
-                    out[(s * ch + c) * 2] = (float)d[s * ch + c];
-                    out[(s * ch + c) * 2 + 1] = 0.f;
-                }
-        } else if (data_type == 1) {
-            const int16_t* d = reinterpret_cast<const int16_t*>(buf);
-            for (int s = 0; s < pts; ++s)
-                for (int c = 0; c < ch; ++c) {
-                    out[(s * ch + c) * 2] = (float)d[(s * ch + c) * 2];
-                    out[(s * ch + c) * 2 + 1] = (float)d[(s * ch + c) * 2 + 1];
-                }
-        } else {
-            const int row = ch * 6 + pad1;
-            for (int s = 0; s < pts; ++s) {
-                const uint8_t* p = buf + (size_t)s * row;
-                for (int c = 0; c < ch; ++c) {
-                    uint32_t vi = (uint32_t)p[c * 6] | ((uint32_t)p[c * 6 + 1] << 8) |
-                                  ((uint32_t)p[c * 6 + 2] << 16);
-                    uint32_t vq = (uint32_t)p[c * 6 + 3] | ((uint32_t)p[c * 6 + 4] << 8) |
-                                  ((uint32_t)p[c * 6 + 5] << 16);
-                    out[(s * ch + c) * 2] = (float)sign24(vi);
-                    out[(s * ch + c) * 2 + 1] = (float)sign24(vq);
-                }
-            }
-        }
+        convert_prt(buf, out, pts, ch, data_type, pad1);
         angles[r->current_prt] = (double)servo;
         ++r->current_prt;
 
@@ -224,6 +233,107 @@ int rsp_g2_read_frame(void* h, int frame_idx, float* iq, double* angles,
     }
     *prts_read = r->current_prt;
     return 1;
+}
+
+// Two-phase parse: stage every PRT payload sequentially (the byte stream is
+// stateful), then convert payloads to float across `n_threads` workers.  The
+// int16->float conversion is the memory-bound half of ingest, so splitting
+// PRT ranges across cores overlaps it with nothing else contending.
+// Same contract and mid-frame-resume semantics as rsp_g2_read_frame.
+int rsp_g2_read_frame_mt(void* h, int frame_idx, float* iq, double* angles,
+                         int* prts_read, int* eos, int n_threads) {
+    auto* r = static_cast<G2Reader*>(h);
+    *eos = 0;
+    if (r->last_frame_idx != frame_idx) {
+        r->current_prt = 0;
+        r->last_frame_idx = frame_idx;
+    }
+    const int pts = r->point_prt, ch = r->n_channels;
+    const int first_prt = r->current_prt;
+    uint8_t head[256];
+
+    r->staging.clear();
+    r->prt_data_type.assign(r->n_prt, -1);
+    r->prt_pad1.assign(r->n_prt, 0);
+    std::vector<size_t> offsets(r->n_prt, 0);
+    int status = 1;
+
+    while (r->current_prt < r->n_prt) {
+        if (r->stream.read(head, r->bytes_head) < r->bytes_head) {
+            *eos = 1; status = 0; break;
+        }
+        uint32_t h32[16];
+        std::memcpy(h32, head, sizeof(h32));
+        const int32_t pulse_data_num = (int32_t)h32[6];
+        const int channel_num = (int)(h32[3] & 0xFFu);
+        const int data_type = (int)(h32[7] & 0xFFu);
+        const int servo = (int)(h32[4] & 0xFFFFu);
+        if (pulse_data_num <= 0) { *eos = 1; status = 0; break; }
+
+        uint8_t rt[512];
+        if (r->stream.read(rt, r->bytes_realtime) < r->bytes_realtime) {
+            *eos = 1; status = 0; break;
+        }
+
+        int64_t size;
+        int pad1 = 0;
+        if (data_type == 0) {
+            size = (int64_t)pulse_data_num * channel_num * 2;
+        } else if (data_type == 1) {
+            size = (int64_t)pulse_data_num * channel_num * 4;
+        } else {
+            pad1 = 8 - (6 * channel_num) % 8;
+            size = (int64_t)pulse_data_num * (channel_num * 6 + pad1);
+        }
+        if (size % 64) size += 64 - size % 64;
+
+        const size_t off = r->staging.size();
+        r->staging.resize(off + (size_t)size);
+        if (r->stream.read(&r->staging[off], size) < size) {
+            *eos = 1; status = 0; break;
+        }
+        if (pulse_data_num != pts || channel_num != ch) {
+            *eos = 1; status = 0; break;
+        }
+        offsets[r->current_prt] = off;
+        r->prt_data_type[r->current_prt] = data_type;
+        r->prt_pad1[r->current_prt] = pad1;
+        angles[r->current_prt] = (double)servo;
+        ++r->current_prt;
+
+        uint8_t tail[256];
+        if (r->stream.read(tail, r->bytes_tail) < r->bytes_tail) {
+            *eos = 1; status = 0; break;
+        }
+    }
+
+    // convert whatever was staged (also on early EOS, so resume semantics
+    // match the single-threaded parser)
+    const int last_prt = r->current_prt;
+    const int n_staged = last_prt - first_prt;
+    if (n_staged > 0) {
+        int workers = n_threads < 1 ? 1 : n_threads;
+        if (workers > n_staged) workers = n_staged;
+        auto work = [&](int w) {
+            const int lo = first_prt + (int)((int64_t)n_staged * w / workers);
+            const int hi = first_prt + (int)((int64_t)n_staged * (w + 1) / workers);
+            for (int p = lo; p < hi; ++p) {
+                convert_prt(&r->staging[offsets[p]],
+                            iq + (size_t)p * pts * ch * 2, pts, ch,
+                            r->prt_data_type[p], r->prt_pad1[p]);
+            }
+        };
+        if (workers == 1) {
+            work(0);
+        } else {
+            std::vector<std::thread> threads;
+            threads.reserve(workers);
+            for (int w = 0; w < workers; ++w) threads.emplace_back(work, w);
+            for (auto& t : threads) t.join();
+        }
+    }
+    *prts_read = r->current_prt;
+    return status;
 }
 
 void rsp_g2_close(void* h) { delete static_cast<G2Reader*>(h); }

@@ -225,3 +225,37 @@ def test_native_g1_matches_numpy(tmp_path, rng):
         np.testing.assert_array_equal(nr, rt.astype(np.complex64))
         np.testing.assert_allclose(nang, ang)
         assert nmeta["frame_no"] == meta["frame_no"]
+
+
+def test_native_mt_parse_matches_single_thread(tmp_path):
+    """The two-phase threaded G2 parser == the interleaved single-pass one."""
+    import numpy as np
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.ingest import native_available
+    from radar_signal_process_tpu.sim.packets_synth import write_g2_capture
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native ingest unavailable")
+    from radar_signal_process_tpu.ingest.native_loader import NativeG2FrameReader
+
+    prof = G2_PROFILE
+    rng = np.random.default_rng(11)
+    iq = (
+        rng.integers(-2000, 2000, size=(2, prof.prt_per_frame, prof.point_prt,
+                                        prof.n_channels)).astype(np.float32)
+        + 1j * rng.integers(-2000, 2000, size=(2, prof.prt_per_frame,
+                                               prof.point_prt,
+                                               prof.n_channels)).astype(np.float32)
+    )
+    write_g2_capture(str(tmp_path), iq, prof, data_type=1)
+    r1 = NativeG2FrameReader(str(tmp_path), prof)            # single-pass
+    r2 = NativeG2FrameReader(str(tmp_path), prof, n_threads=2)  # two-phase mt
+    for f in range(2):
+        a = r1.read_frame(f)
+        b = r2.read_frame(f)
+        assert a.frame_completed and b.frame_completed
+        np.testing.assert_array_equal(a.iq, b.iq)
+        np.testing.assert_array_equal(a.servo_angle, b.servo_angle)
