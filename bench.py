@@ -195,24 +195,42 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
                 rdm, divisor=prof.mtd.notch_divisor, velocity_axis=-1
             )
 
-        # two-executable split detector: XLA CPU duplicates fused producers
-        # into every consumer within one executable, so the cascade runs
-        # ~2.2x faster split at the (vflag, rflag) materialization point
-        from radar_signal_process_tpu.models.detect import make_split_detector
+        # two-executable split CFAR cascade: XLA CPU duplicates fused
+        # producers into every consumer within one executable, so the
+        # cascade runs ~2.2x faster split at the (vflag, rflag)
+        # materialization point.  The flag-sum reduction lives INSIDE the
+        # select executable: materializing full-size flag planes only to
+        # re-read them for a sum cost ~100 MB of traffic per frame.
+        from radar_signal_process_tpu.ops.cfar import (
+            segmented_cfar_flags,
+            segmented_cfar_select,
+        )
 
-        detect_split = make_split_detector(prof, n_clutter, cfg=cfg,
-                                           transposed=True)
+        segments = prof.cfar_segments or ((0, prof.point_prt),)
+
+        def _renotch(rdm):
+            return zero_velocity_notch(rdm, divisor=20, velocity_axis=-1)
 
         @jax.jit
-        def summarize_fn(rdm, flags):
+        def cfar_flags_fn(rdm):
+            return segmented_cfar_flags(
+                _renotch(rdm), segments, cfg, n_clutter, transposed=True
+            )
+
+        @jax.jit
+        def cfar_select_sum_fn(rdm, vflag, rflag):
+            flags, _ = segmented_cfar_select(
+                _renotch(rdm), vflag, rflag, segments, cfg, n_clutter,
+                transposed=True,
+            )
             return jnp.stack(
                 [jnp.sum(rdm).astype(jnp.float32),
                  jnp.sum(flags).astype(jnp.float32)]
             )
 
         def cfar_fn(rdm):
-            flags, _ = detect_split(rdm)
-            return summarize_fn(rdm, flags)
+            vflag, rflag = cfar_flags_fn(rdm)
+            return cfar_select_sum_fn(rdm, vflag, rflag)
 
         def chain(echo_window):
             n = echo_window.shape[0]
