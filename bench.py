@@ -232,28 +232,50 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
             vflag, rflag = cfar_flags_fn(rdm)
             return cfar_select_sum_fn(rdm, vflag, rflag)
 
+        import itertools
+
         def chain(echo_window):
             n = echo_window.shape[0]
             k = -(-n // n_threads)  # ceil
             parts = [echo_window[i : i + k] for i in range(0, n, k)]
-            out = [None] * len(parts)
+            pcs = [None] * len(parts)
+            out = [None] * n_threads
             errors = []
+            # dynamic work queue over (chunk, beam, slice-start) triples:
+            # static per-thread chunks leave a 7-vs-6 beam imbalance plus
+            # OS-scheduling variance; a shared atomic iterator keeps both
+            # workers busy to within one slice of the end
+            work = itertools.count()
+            items = [
+                (ci, b, start)
+                for ci, p in enumerate(parts)
+                for b in range(p.shape[0])
+                for start in starts
+            ]
 
-            def run(i, part):
+            def run(t):
                 try:
-                    pc = pc_fn(part)
+                    if t < len(parts):      # phase 1: PC, one chunk per thread
+                        pcs[t] = pc_fn(parts[t])
+                    barrier.wait()
                     acc = None
-                    for b in range(part.shape[0]):
-                        for start in starts:
-                            s = cfar_fn(rdm_fn(pc, jnp.int32(b), start))
-                            acc = s if acc is None else acc + s
-                    out[i] = acc
+                    while True:
+                        j = next(work)      # GIL-atomic
+                        if j >= len(items):
+                            break
+                        ci, b, start = items[j]
+                        s = cfar_fn(rdm_fn(pcs[ci], jnp.int32(b), start))
+                        acc = s if acc is None else acc + s
+                    out[t] = acc
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     errors.append(e)
+                    barrier.abort()
+
+            barrier = threading.Barrier(n_threads)
 
             threads = [
-                threading.Thread(target=run, args=(i, p))
-                for i, p in enumerate(parts)
+                threading.Thread(target=run, args=(t,))
+                for t in range(n_threads)
             ]
             for t in threads:
                 t.start()
@@ -262,7 +284,7 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
             if errors:
                 # a partial workload must never produce a headline number
                 raise errors[0]
-            return out
+            return [o for o in out if o is not None]
 
     else:
         chain = jax.jit(one)
