@@ -91,6 +91,8 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
         return rdm
 
     def process(frame_now, frame_next) -> np.ndarray:
+        import itertools
+
         win = jnp.concatenate(
             [jnp.asarray(frame_now), jnp.asarray(frame_next)], axis=-2
         )
@@ -101,16 +103,37 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
         real_dtype = np.float64 if win.dtype == jnp.complex128 else np.float32
         out = np.empty((n_beams, win_size, prt, n_pts), dtype=real_dtype)
 
-        def work(ci: int) -> None:
-            lo, hi = chunks[ci]
-            pc = pc_fn(win[lo:hi])
-            for b in range(hi - lo):
-                for w, start in enumerate(starts):
-                    out[lo + b, w] = np.asarray(
-                        rdm_fn(pc, jnp.int32(b), start)
-                    )
+        # phase 1: per-chunk compression across threads; phase 2: a shared
+        # GIL-atomic work queue over (chunk, beam, slice) so workers stay
+        # busy to within one slice of the end (see bench.py)
+        pcs = [None] * len(chunks)
+        counter = itertools.count()
+        items = [
+            (ci, b, w, start)
+            for ci, (lo, hi) in enumerate(chunks)
+            for b in range(hi - lo)
+            for w, start in enumerate(starts)
+        ]
+        barrier = threading.Barrier(n_threads)
 
-        _thread_map(work, len(chunks))
+        def work(t: int) -> None:
+            try:
+                if t < len(chunks):
+                    lo, hi = chunks[t]
+                    pcs[t] = pc_fn(win[lo:hi])
+            finally:
+                barrier.wait()
+            while True:
+                j = next(counter)
+                if j >= len(items):
+                    break
+                ci, b, w, start = items[j]
+                lo, _ = chunks[ci]
+                out[lo + b, w] = np.asarray(
+                    rdm_fn(pcs[ci], jnp.int32(b), start)
+                )
+
+        _thread_map(work, n_threads)
         return out
 
     return process
