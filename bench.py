@@ -232,58 +232,22 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
             vflag, rflag = cfar_flags_fn(rdm)
             return cfar_select_sum_fn(rdm, vflag, rflag)
 
-        import itertools
+        from radar_signal_process_tpu.models.host_parallel import (
+            two_phase_beam_map,
+        )
+
+        def _item(acc, pc, ci, b, w, start):
+            s = cfar_fn(rdm_fn(pc, jnp.int32(b), start))
+            return s if acc is None else acc + s
 
         def chain(echo_window):
             n = echo_window.shape[0]
             k = -(-n // n_threads)  # ceil
             parts = [echo_window[i : i + k] for i in range(0, n, k)]
-            pcs = [None] * len(parts)
-            out = [None] * n_threads
-            errors = []
-            # dynamic work queue over (chunk, beam, slice-start) triples:
-            # static per-thread chunks leave a 7-vs-6 beam imbalance plus
-            # OS-scheduling variance; a shared atomic iterator keeps both
-            # workers busy to within one slice of the end
-            work = itertools.count()
-            items = [
-                (ci, b, start)
-                for ci, p in enumerate(parts)
-                for b in range(p.shape[0])
-                for start in starts
-            ]
-
-            def run(t):
-                try:
-                    if t < len(parts):      # phase 1: PC, one chunk per thread
-                        pcs[t] = pc_fn(parts[t])
-                    barrier.wait()
-                    acc = None
-                    while True:
-                        j = next(work)      # GIL-atomic
-                        if j >= len(items):
-                            break
-                        ci, b, start = items[j]
-                        s = cfar_fn(rdm_fn(pcs[ci], jnp.int32(b), start))
-                        acc = s if acc is None else acc + s
-                    out[t] = acc
-                except BaseException as e:  # noqa: BLE001 — re-raised below
-                    errors.append(e)
-                    barrier.abort()
-
-            barrier = threading.Barrier(n_threads)
-
-            threads = [
-                threading.Thread(target=run, args=(t,))
-                for t in range(n_threads)
-            ]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            if errors:
-                # a partial workload must never produce a headline number
-                raise errors[0]
+            # shared two-phase driver (per-chunk PC, then a dynamic work
+            # queue over beam-slice items); errors re-raise so a partial
+            # workload can never produce a headline number
+            out = two_phase_beam_map(parts, pc_fn, starts, _item, n_threads)
             return [o for o in out if o is not None]
 
     else:

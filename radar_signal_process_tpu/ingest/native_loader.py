@@ -21,15 +21,29 @@ from radar_signal_process_tpu.ingest.paths import G2_RAW_SUBDIR
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "ingest.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libingest.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
 
 
-def _build() -> Optional[str]:
+def _lib_path() -> str:
+    """Shared-library path keyed on the source content hash.
+
+    Binaries are never committed (host-specific: -march=native) and a
+    source change yields a new filename, so a stale or foreign `.so` can
+    never be picked up — and dlopen's per-path caching can never pin an
+    old image after a rebuild.
+    """
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_NATIVE_DIR, f"libingest-{digest}.so")
+
+
+def _build(lib_path: str) -> Optional[str]:
     cmd = ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
-           "-std=c++17", "-o", _LIB, _SRC]
+           "-std=c++17", "-o", lib_path, _SRC]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
@@ -45,11 +59,29 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_error is not None:
         return None
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build_error = _build()
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path):
+        _build_error = _build(lib_path)
         if _build_error:
             return None
-    lib = ctypes.CDLL(_LIB)
+    try:
+        lib = _bind(ctypes.CDLL(lib_path))
+    except (OSError, AttributeError):
+        # e.g. a hash-named binary built by an incompatible host
+        _build_error = _build(lib_path)
+        if _build_error:
+            return None
+        try:
+            lib = _bind(ctypes.CDLL(lib_path))
+        except (OSError, AttributeError) as e2:
+            _build_error = f"rebuilt library unusable: {e2}"
+            return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every exported symbol; raises AttributeError on a stale lib."""
     lib.rsp_stream_open.restype = ctypes.c_void_p
     lib.rsp_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
     lib.rsp_stream_read.restype = ctypes.c_int64
@@ -79,7 +111,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
     ]
-    _lib = lib
     return lib
 
 

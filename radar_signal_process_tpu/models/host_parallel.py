@@ -48,6 +48,60 @@ def _thread_map(fn: Callable[[int], None], n: int) -> None:
         raise errors[0]
 
 
+def two_phase_beam_map(
+    parts,
+    pc_fn: Callable,
+    starts,
+    item_fn: Callable,
+    n_threads: int,
+) -> list:
+    """Shared threaded driver for the per-frame chain (bench + CLI).
+
+    Phase 1: each thread runs ``pc_fn`` on its chunk (one compression call
+    per chunk, compress-once-per-window semantics).  Phase 2: all threads
+    pull ``(chunk, beam, slice)`` work items from one GIL-atomic iterator —
+    static per-thread chunks leave a beam imbalance plus OS-scheduling
+    variance; the dynamic queue keeps every worker busy to within one slice
+    of the end.
+
+    ``item_fn(acc, pc_chunk, chunk_index, beam, w, start) -> acc`` runs per
+    item with a per-thread accumulator starting at ``None``; the per-thread
+    final accumulators are returned (entries may be ``None``).  Failures
+    from any thread re-raise after join; the phase barrier is released in a
+    ``finally`` so an error can never deadlock the other workers.
+    """
+    import itertools
+
+    pcs = [None] * len(parts)
+    out: list = [None] * n_threads
+    counter = itertools.count()
+    items = [
+        (ci, b, w, start)
+        for ci, p in enumerate(parts)
+        for b in range(p.shape[0])
+        for w, start in enumerate(starts)
+    ]
+    barrier = threading.Barrier(n_threads)
+
+    def work(t: int) -> None:
+        try:
+            if t < len(parts):
+                pcs[t] = pc_fn(parts[t])
+        finally:
+            barrier.wait()
+        acc = None
+        while True:
+            j = next(counter)  # GIL-atomic
+            if j >= len(items):
+                break
+            ci, b, w, start = items[j]
+            acc = item_fn(acc, pcs[ci], ci, b, w, start)
+        out[t] = acc
+
+    _thread_map(work, n_threads)
+    return out
+
+
 def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
     """CPU-threaded equivalent of ``make_frame_processor``.
 
@@ -91,49 +145,25 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
         return rdm
 
     def process(frame_now, frame_next) -> np.ndarray:
-        import itertools
-
         win = jnp.concatenate(
             [jnp.asarray(frame_now), jnp.asarray(frame_next)], axis=-2
         )
         n_beams, total_prt, n_pts = win.shape
         prt = total_prt // 2
         k = -(-n_beams // n_threads)
-        chunks = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
+        bounds = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
+        parts = [win[lo:hi] for lo, hi in bounds]
+        offsets = [lo for lo, _ in bounds]
         real_dtype = np.float64 if win.dtype == jnp.complex128 else np.float32
         out = np.empty((n_beams, win_size, prt, n_pts), dtype=real_dtype)
 
-        # phase 1: per-chunk compression across threads; phase 2: a shared
-        # GIL-atomic work queue over (chunk, beam, slice) so workers stay
-        # busy to within one slice of the end (see bench.py)
-        pcs = [None] * len(chunks)
-        counter = itertools.count()
-        items = [
-            (ci, b, w, start)
-            for ci, (lo, hi) in enumerate(chunks)
-            for b in range(hi - lo)
-            for w, start in enumerate(starts)
-        ]
-        barrier = threading.Barrier(n_threads)
+        def item(acc, pc, ci, b, w, start):
+            out[offsets[ci] + b, w] = np.asarray(
+                rdm_fn(pc, jnp.int32(b), start)
+            )
+            return acc
 
-        def work(t: int) -> None:
-            try:
-                if t < len(chunks):
-                    lo, hi = chunks[t]
-                    pcs[t] = pc_fn(win[lo:hi])
-            finally:
-                barrier.wait()
-            while True:
-                j = next(counter)
-                if j >= len(items):
-                    break
-                ci, b, w, start = items[j]
-                lo, _ = chunks[ci]
-                out[lo + b, w] = np.asarray(
-                    rdm_fn(pcs[ci], jnp.int32(b), start)
-                )
-
-        _thread_map(work, n_threads)
+        two_phase_beam_map(parts, pc_fn, starts, item, n_threads)
         return out
 
     return process

@@ -416,7 +416,10 @@ def make_pipeline_parallel(
 
     Returns ``run(echo) -> (rdm, flags)`` for ``echo`` of shape
     ``(n_micro, n_pulses, n_points)``; results are bit-identical to the
-    unsharded ``mtd_produce`` + ``segmented_cfar`` chain.
+    unsharded ``mtd_produce`` + ``segmented_cfar`` chain *with the FFT
+    Doppler algorithm* (both depths pin ``use_matmul=False``; on TPU the
+    unsharded chain auto-selects the matmul-DFT, which differs at ULP
+    level from any FFT implementation).
     """
     cfg = cfg or profile.cfar
     pulses = reference_pulses(profile)
@@ -451,8 +454,11 @@ def make_pipeline_parallel(
         return rdm + 1j * flags.astype(jnp.float32)
 
     def s_rdm_cfar(x):          # 2-stage tail: PC activation in
+        # pin the FFT algorithm (not the TPU matmul-DFT auto-path) so both
+        # pipeline depths produce identical bits on every backend
         w = _window(x.shape[-2])
-        rdm = doppler_process(x, w, shift=profile.mtd.fftshift)
+        rdm = doppler_process(x, w, shift=profile.mtd.fftshift,
+                              use_matmul=False)
         return _cfar_encode(rdm)
 
     def s_mag_cfar(x):          # 3-stage tail: complex spectrum in
