@@ -42,3 +42,31 @@ def test_cpu_flags_match_batched(rng):
     want_f, want_v = detect_rdm(jnp.asarray(rdms), prof, 4, cfg=cfg)
     np.testing.assert_array_equal(got_f, np.asarray(want_f))
     np.testing.assert_array_equal(got_v, np.asarray(want_v))
+
+
+def test_two_phase_beam_map_error_propagates_without_deadlock():
+    """A failing item re-raises after join; the barrier never deadlocks."""
+    import numpy as np
+    import pytest
+
+    from radar_signal_process_tpu.models.host_parallel import two_phase_beam_map
+
+    parts = [np.zeros((2, 4)), np.zeros((2, 4))]
+
+    def pc_fn(p):
+        return p
+
+    def item(acc, pc, ci, b, w, start):
+        if ci == 1 and b == 1:
+            raise RuntimeError("boom")
+        return (acc or 0) + 1
+
+    with pytest.raises(RuntimeError, match="boom"):
+        two_phase_beam_map(parts, pc_fn, [0, 3], item, n_threads=2)
+
+    # phase-1 failure: the other worker must not hang on the barrier
+    def pc_bad(p):
+        raise ValueError("pc failed")
+
+    with pytest.raises((ValueError, TypeError)):
+        two_phase_beam_map(parts, pc_bad, [0], item, n_threads=2)
