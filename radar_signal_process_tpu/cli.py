@@ -314,6 +314,37 @@ def cmd_e2e(args) -> int:
     profile = PROFILES[args.profile]
     reader_cls = NativeG2FrameReader if (args.native and native_available()) else G2FrameReader
     reader = reader_cls(args.input, profile)
+    sharded_run = None
+    if getattr(args, "mesh", None):
+        # multi-device execution: beams sharded over dp, range over sp with
+        # halo-exchange CFAR (parallel.make_sharded_pipeline); detections
+        # extracted from the selected beam/slice exactly like the
+        # single-device path
+        from radar_signal_process_tpu.models.mtd_pipeline import (
+            window_slice_starts,
+        )
+        from radar_signal_process_tpu.ops.measure import extract_detections
+        from radar_signal_process_tpu.parallel import make_mesh
+        from radar_signal_process_tpu.parallel.sharding import (
+            make_sharded_pipeline,
+            shard_batch,
+        )
+
+        dp, sp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(("dp", "sp"), shape=(dp, sp),
+                         devices=jax.devices()[: dp * sp])
+        nc = clutter_cells(profile, profile.prt_per_frame, args.clutter_v)
+        sharded_run = make_sharded_pipeline(
+            profile, mesh, n_clutter=nc, renotch_divisor=20
+        )
+        slice_start = window_slice_starts(profile.prt_per_frame,
+                                          args.win_size)[args.win_slice]
+        extract = jax.jit(
+            lambda flags, rdm: extract_detections(flags, rdm,
+                                                  args.max_detections)
+        )
+        beam_pad = (-profile.n_beams) % dp
+
     process = make_frame_processor(profile, win_size=args.win_size)
     detector = None
     timers = StageTimers()
@@ -326,7 +357,21 @@ def cmd_e2e(args) -> int:
         if not res.frame_completed:
             break
         cur = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
-        if prev is not None:
+        if prev is not None and sharded_run is not None:
+            with timers.stage("mtd+cfar") as h:
+                win = np.concatenate([prev, cur], axis=-2)
+                echo = win[:, slice_start : slice_start + profile.prt_per_frame]
+                if beam_pad:
+                    echo = np.concatenate(
+                        [echo, np.zeros((beam_pad,) + echo.shape[1:],
+                                        echo.dtype)], axis=0,
+                    )
+                x = jax.device_put(jnp.asarray(echo, jnp.complex64),
+                                   shard_batch(mesh, "dp"))
+                rdm, flags, _ = sharded_run(x)
+                dets = extract(flags[args.beam], rdm[args.beam])
+                h["fence"] = dets.valid
+        elif prev is not None:
             with timers.stage("mtd+cfar") as h:
                 rdms = process(
                     jnp.asarray(prev, jnp.complex64), jnp.asarray(cur, jnp.complex64)
@@ -338,6 +383,7 @@ def cmd_e2e(args) -> int:
                     )
                 flags, _, dets = detector(rdms[args.beam, args.win_slice])
                 h["fence"] = flags
+        if prev is not None:
             valid = np.asarray(dets.valid)
             results.append(
                 {
@@ -605,6 +651,10 @@ def build_parser() -> argparse.ArgumentParser:
     e2e.add_argument("--clutter-v", type=float, default=3.0)
     e2e.add_argument("--max-detections", type=int, default=16)
     e2e.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    e2e.add_argument("--mesh", default=None, metavar="DPxSP",
+                     help="run the window over a (dp, sp) device mesh, e.g. "
+                          "1x4: beams data-parallel, range sharded with "
+                          "halo-exchange CFAR")
     e2e.set_defaults(fn=cmd_e2e)
 
     dmx = sub.add_parser("dmx", help="G0 end-to-end chain over a G1-format capture")

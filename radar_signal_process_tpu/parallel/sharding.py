@@ -225,6 +225,7 @@ def make_sharded_pipeline(
     dp_axis: str = "dp",
     sp_axis: str = "sp",
     segmented: bool = True,
+    renotch_divisor: int | None = None,
 ):
     """Full sharded processing step: echo -> RDM -> CFAR flags over a 2-D mesh.
 
@@ -241,6 +242,11 @@ def make_sharded_pipeline(
     segment split exactly like ``ops.cfar.segmented_cfar``; segments are
     dropped automatically when the profile's table does not tile the actual
     range extent (e.g. truncated dry-run geometries).
+
+    ``renotch_divisor`` applies the detection stage's wide clutter re-notch
+    (``main_cfar.m:90-91``, divisor 20) before the CFAR — matching
+    ``models.detect.detect_rdm`` semantics — while the returned RDM keeps
+    only the MTD-stage notch.
     """
     cfg = cfg or profile.cfar
     pulses = reference_pulses(profile)
@@ -261,8 +267,11 @@ def make_sharded_pipeline(
         rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
         if profile.mtd.notch_divisor:
             rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        rdm_cfar = rdm
+        if renotch_divisor:
+            rdm_cfar = zero_velocity_notch(rdm, divisor=renotch_divisor)
         flags, vflags = sharded_cascaded_cfar2d(
-            rdm, cfg, n_clutter, sp_axis, n_points, segments
+            rdm_cfar, cfg, n_clutter, sp_axis, n_points, segments
         )
         return rdm, flags, vflags
 

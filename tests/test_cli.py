@@ -101,3 +101,29 @@ def test_cli_ingest_idempotent(tmp_path, capsys):
     ]) == 0
     after = load_frame(frames_dir, 0)[0]["iq"]
     np.testing.assert_array_equal(before, after)
+
+
+def test_cli_e2e_mesh_matches_single_device(tmp_path, capsys, monkeypatch):
+    """`e2e --mesh dpxsp` (sharded window) == the single-device e2e output."""
+    tinym = dataclasses.replace(
+        TINY, cfar_segments=((0, 24), (24, 104), (104, 344))
+    )
+    monkeypatch.setitem(PROFILES, "TINYM", tinym)
+    cap = str(tmp_path / "capture")
+    assert cli.main([
+        "simulate", "--output", cap, "--profile", "TINYM", "--frames", "3",
+        "--velocity", "-5.7", "--range", "60", "--scr", "25",
+    ]) == 0
+
+    def run(extra):
+        assert cli.main([
+            "e2e", "--input", cap, "--profile", "TINYM", "--frames", "2",
+            "--beam", "0", "--win-slice", "1", *extra,
+        ]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    plain = run([])
+    # dp=2 pads the 2-beam batch evenly; sp=2 shards the 344-pt range axis
+    meshed = run(["--mesh", "2x2"])
+    assert meshed == plain
+    assert any(f["detections"] for f in plain["frames"])
