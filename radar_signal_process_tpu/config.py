@@ -264,6 +264,7 @@ class G0ChainConfig:
     pc_window: str = "kaiser"          # winType=3 (:179)
     pc_window_beta: float = 4.5        # betaMF (:186)
     mtd_window: str = "hamming"        # MTD_win_TYPE=1 (:208)
+    mtd_window_beta: float = 4.5       # betaMTD, used when mtd_window="kaiser" (:215-216)
     r_sys_err_short: float = 0.0       # rSysErr_short [m] (:250)
     r_sys_err_long: float = 62.0 * 12  # rSysErr_long [m] (:251)
     r_measure_err_short: float = 297.0  # (:252)

@@ -33,11 +33,7 @@ from radar_signal_process_tpu.config import (
     NARROW_PULSE_FIR_TAPS,
     RadarProfile,
 )
-from radar_signal_process_tpu.ops.cfar import (
-    cascaded_cfar2d,
-    segmented_cfar_flags,
-    segmented_cfar_select,
-)
+from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
 from radar_signal_process_tpu.ops.measure import (
     DetectionList,
     Measurements,
@@ -104,8 +100,10 @@ class G0Chain:
             np.fft.fft(match_waveform * win, chain.pc_fft_length)
         )  # peak at pulse leading edge (:202)
 
-        # ---- MTD window (:208-229) ----
-        self._mtd_window = make_window(chain.mtd_window, profile.prt_per_frame)
+        # ---- MTD window (:208-229; betaMTD=4.5 for the kaiser option) ----
+        self._mtd_window = make_window(
+            chain.mtd_window, profile.prt_per_frame, chain.mtd_window_beta
+        )
 
         # ---- clutter / scales (:317-327, :462) ----
         delta_doppler = profile.prf / chain.mtd_fft_length
@@ -140,19 +138,13 @@ class G0Chain:
         self._process = jax.jit(self._process_impl)
         self._front = jax.jit(self._front_impl)
         self._finish = jax.jit(self._finish_impl)
-        cfar, nc = self.profile.cfar, self.n_clutter
+        # the shared two-executable split cascade (models.detect); the G0
+        # front applies its own unshifted clutter zeroing, so no re-notch
+        from radar_signal_process_tpu.models.detect import make_split_detector
 
-        @jax.jit
-        def _cfar_flags(rdm):
-            return segmented_cfar_flags(rdm, ((0, rdm.shape[-1]),), cfar, nc)
-
-        @jax.jit
-        def _cfar_select(rdm, vf, rf):
-            return segmented_cfar_select(
-                rdm, vf, rf, ((0, rdm.shape[-1]),), cfar, nc
-            )
-
-        self._cfar_flags, self._cfar_select = _cfar_flags, _cfar_select
+        self._cfar_split = make_split_detector(
+            profile, self.n_clutter, cfg=profile.cfar, renotch_divisor=None
+        )
 
     def compensate_angle(self, angle_code: np.ndarray) -> np.ndarray:
         """North-angle compensation: rem(angle + northAngle + angleE1, 360) (:310)."""
@@ -277,10 +269,8 @@ class G0Chain:
         if not self._use_split:
             return self._process(jnp.asarray(left), jnp.asarray(right))
         ss, sl, ds, dl = self._front(jnp.asarray(left), jnp.asarray(right))
-        vf_s, rf_s = self._cfar_flags(ss)
-        flags_s, vflags_s = self._cfar_select(ss, vf_s, rf_s)
-        vf_l, rf_l = self._cfar_flags(sl)
-        flags_l, vflags_l = self._cfar_select(sl, vf_l, rf_l)
+        flags_s, vflags_s = self._cfar_split(ss)
+        flags_l, vflags_l = self._cfar_split(sl)
         dets_s, dets_l, meas_s, meas_l = self._finish(
             ss, sl, ds, dl, flags_s, flags_l
         )

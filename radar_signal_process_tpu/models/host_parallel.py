@@ -72,6 +72,11 @@ def two_phase_beam_map(
     """
     import itertools
 
+    if len(parts) > n_threads:
+        raise ValueError(
+            f"{len(parts)} chunks need {len(parts)} phase-1 workers but "
+            f"n_threads={n_threads}; chunk by -(-n // n_threads)"
+        )
     pcs = [None] * len(parts)
     out: list = [None] * n_threads
     counter = itertools.count()

@@ -40,6 +40,7 @@ def _form_rdm(
     notch.
     """
     n_pulses = pc.shape[-2]
+    n_fft = profile.mtd.fft_length or n_pulses
     window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
     if use_pallas_rdm is None:
         # the fused kernel tiles its DFT plane over Doppler rows, so any
@@ -50,9 +51,9 @@ def _form_rdm(
 
         return doppler_rdm_pallas(
             pc, window, notch_divisor=profile.mtd.notch_divisor or None,
-            shift=True,
+            shift=True, n_fft=n_fft,
         )
-    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+    rdm = doppler_process(pc, window, n_fft=n_fft, shift=profile.mtd.fftshift)
     if profile.mtd.notch_divisor:
         rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
     return rdm

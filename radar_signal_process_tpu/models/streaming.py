@@ -83,32 +83,39 @@ class StreamingPipeline:
         )
         self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
+        self._producer_error: Optional[BaseException] = None
 
     # ------------------------------------------------------------- producer
     def _produce(self) -> None:
         try:
-            for idx in range(self.max_frames):
-                res = self.reader.read_frame(idx)
-                if not res.frame_completed:
-                    break
-                if self.dbf_coeffs is not None:
-                    # channels -> beams on device (MXU einsum), overlapped
-                    # with the consumer's compute
-                    from radar_signal_process_tpu.ops.dbf import apply_dbf
-
-                    chans = jnp.asarray(res.iq, dtype=jnp.complex64)
-                    beams = apply_dbf(chans, self.dbf_coeffs)
-                    dev = jnp.moveaxis(beams, -1, 0)
-                else:
-                    # (prt, samples, beams) -> (beams, prt, samples), staged
-                    # to the device while the consumer computes
-                    host = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
-                    dev = jax.device_put(jnp.asarray(host, dtype=jnp.complex64))
-                self._queue.put((idx, dev))
-                self.counters.add("frames_ingested")
-                self.counters.add("prts_parsed", self.profile.prt_per_frame)
+            self._produce_inner()
+        except BaseException as e:  # noqa: BLE001 — re-raised by the consumer
+            # a reader/DBF failure must not masquerade as clean end-of-data
+            self._producer_error = e
         finally:
             self._queue.put(None)
+
+    def _produce_inner(self) -> None:
+        for idx in range(self.max_frames):
+            res = self.reader.read_frame(idx)
+            if not res.frame_completed:
+                break
+            if self.dbf_coeffs is not None:
+                # channels -> beams on device (MXU einsum), overlapped
+                # with the consumer's compute
+                from radar_signal_process_tpu.ops.dbf import apply_dbf
+
+                chans = jnp.asarray(res.iq, dtype=jnp.complex64)
+                beams = apply_dbf(chans, self.dbf_coeffs)
+                dev = jnp.moveaxis(beams, -1, 0)
+            else:
+                # (prt, samples, beams) -> (beams, prt, samples), staged
+                # to the device while the consumer computes
+                host = np.ascontiguousarray(np.moveaxis(res.iq, -1, 0))
+                dev = jax.device_put(jnp.asarray(host, dtype=jnp.complex64))
+            self._queue.put((idx, dev))
+            self.counters.add("frames_ingested")
+            self.counters.add("prts_parsed", self.profile.prt_per_frame)
 
     # ------------------------------------------------------------- consumer
     def __iter__(self) -> Iterator[StreamResult]:
@@ -128,3 +135,5 @@ class StreamingPipeline:
                 yield StreamResult(prev_idx, rdms, flags, dets)
             prev, prev_idx = dev, idx
         self._thread.join()
+        if self._producer_error is not None:
+            raise self._producer_error

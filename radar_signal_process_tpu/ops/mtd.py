@@ -93,8 +93,9 @@ def doppler_process(
         spec = jnp.moveaxis(spec, -2, pulse_axis)
         return jnp.abs(spec) if magnitude else spec
 
-    w = jnp.asarray(window, dtype=jnp.real(pc).dtype)
-    w = jnp.expand_dims(w, axis=-1)  # broadcast over range axis
+    w_shape = [1] * pc.ndim
+    w_shape[pulse_axis % pc.ndim] = n_pulses
+    w = jnp.asarray(window, dtype=jnp.real(pc).dtype).reshape(w_shape)
     spec = jnp.fft.fft(pc * w, n=n_fft or n_pulses, axis=pulse_axis)
     if shift:
         spec = jnp.fft.fftshift(spec, axes=pulse_axis)

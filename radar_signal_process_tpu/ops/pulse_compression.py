@@ -133,7 +133,12 @@ def fir_compress(
     )
     causal = jnp.fft.ifft(spec, nfft, axis=-1)[..., :m]
     if roll_group_delay:
-        causal = jnp.roll(causal, -((ntaps - 1) // 2), axis=-1)
+        # MATLAB round(mean(grpdelay(b))) is half-away-from-zero: a
+        # linear-phase FIR of even length L has group delay (L-1)/2 = x.5,
+        # which MATLAB rounds UP — floor division would be one sample short
+        from radar_signal_process_tpu.config import matlab_round
+
+        causal = jnp.roll(causal, -matlab_round((ntaps - 1) / 2), axis=-1)
     return causal * post_scale
 
 

@@ -156,3 +156,72 @@ def test_python_stream_retry_does_not_skip_files(tmp_path, rng):
     res2 = reader.read_frame(0)   # same reader, same logical frame
     assert res2.frame_completed
     np.testing.assert_array_equal(res2.iq, iq[0].astype(np.complex64))
+
+
+def test_streaming_producer_error_reraises():
+    """R2 review: a reader failure must raise, not mimic clean end-of-data."""
+    import dataclasses
+
+    import pytest
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.models.streaming import StreamingPipeline
+
+    tiny = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=16, point_prt=344, n_channels=2, n_beams=2,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+
+    class BoomReader:
+        def read_frame(self, idx):
+            raise IOError("capture vanished")
+
+    pipe = StreamingPipeline(BoomReader(), tiny, max_frames=3)
+    with pytest.raises(IOError, match="capture vanished"):
+        list(pipe)
+
+
+def test_mtd_produce_honors_profile_fft_length():
+    """R2 review: MTDConfig.fft_length was silently ignored by mtd_produce."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_signal_process_tpu.config import G2_PROFILE, MTDConfig
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=16, point_prt=344,
+        segment_points=(24, 80, 240),
+        mtd=dataclasses.replace(G2_PROFILE.mtd, fft_length=64),
+    )
+    rng = np.random.default_rng(0)
+    echo = jnp.asarray(
+        (rng.standard_normal((16, 344)) + 1j * rng.standard_normal((16, 344)))
+        .astype(np.complex64)
+    )
+    rdm = mtd_produce(echo, prof)
+    assert rdm.shape == (64, 344)
+
+
+def test_doppler_process_pulse_axis_zero():
+    """R2 review: the FFT path windowed hardcoded axis -2 regardless of
+    pulse_axis."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_signal_process_tpu.ops import doppler_process, make_window
+
+    rng = np.random.default_rng(1)
+    pc = jnp.asarray(
+        (rng.standard_normal((24, 5, 7)) + 1j * rng.standard_normal((24, 5, 7)))
+        .astype(np.complex64)
+    )
+    w = make_window("kaiser", 24, 8.0)
+    got = doppler_process(pc, w, pulse_axis=0)
+    want = doppler_process(jnp.moveaxis(pc, 0, -2), w, pulse_axis=-2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.moveaxis(want, -2, 0)), rtol=1e-5
+    )
