@@ -293,3 +293,46 @@ def test_expert_parallel_beam_calibration_matches_unsharded(rng):
         jnp.asarray(frames * cal[beam_ids][:, None, :]), prof, pulses
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_expert_parallel_capacity_drops_to_zero(rng):
+    """Frames beyond a destination bucket's capacity drop (zero output),
+    matching MoE token-drop semantics; routed frames are unaffected."""
+    import dataclasses
+
+    from radar_signal_process_tpu.ops.pulse_compression import (
+        segmented_pulse_compression,
+    )
+    from radar_signal_process_tpu.ops.waveforms import reference_pulses
+    from radar_signal_process_tpu.parallel.sharding import make_expert_parallel
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=8, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    n_ep, n_beams = 2, 4
+    mesh = make_mesh(("ep",), shape=(n_ep,), devices=jax.devices()[:n_ep])
+    cal = (0.5 + rng.random((n_beams, prof.point_prt))).astype(np.float32)
+
+    # every frame on device 0 targets expert device 1's beams -> with
+    # capacity=1 only the first such frame per source routes, rest drop
+    n_frames = 8  # 4 per device
+    frames = (rng.standard_normal((n_frames, 8, prof.point_prt))
+              + 1j * rng.standard_normal((n_frames, 8, prof.point_prt))
+              ).astype(np.complex64)
+    beam_ids = np.full(n_frames, 2, dtype=np.int32)  # all -> expert dev 1
+
+    run = make_expert_parallel(prof, mesh, cal, capacity=1)
+    got = np.asarray(run(jnp.asarray(frames), jnp.asarray(beam_ids)))
+
+    pulses = reference_pulses(prof)
+    want = np.asarray(segmented_pulse_compression(
+        jnp.asarray(frames * cal[beam_ids][:, None, :]), prof, pulses
+    ))
+    # frame 0 of each source shard (locals 0 and 4) routed; the rest dropped
+    for f in range(n_frames):
+        if f in (0, 4):
+            np.testing.assert_array_equal(got[f], want[f])
+        else:
+            assert not got[f].any(), f"frame {f} should have been dropped"
