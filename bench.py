@@ -174,26 +174,41 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
         def pc_fn(beams):                                # (b, 664, 3404)
             return segmented_pulse_compression(beams, prof, pulses)
 
-        from radar_signal_process_tpu.ops.mtd import doppler_process_range_major
+        from radar_signal_process_tpu.config import matlab_round
 
         # beam index traced, CPI-slice start static: the window slice and
         # the Doppler transform live in ONE executable, so no 18 MB CPI
         # slice (nor the stacked (b, 4, 332, 3404) slice tensor) is ever
         # materialized — eager per-slice indexing cost the threaded chain
-        # ~940 MB of copies per frame (~20% wall)
+        # ~940 MB of copies per frame (~20% wall).
+        # The transform emits range-major: the pulse-axis FFT works
+        # range-major internally on XLA CPU, and asking for `.T` as the
+        # executable's OUTPUT elides the materialized transpose entirely
+        # (any op after the .T in the same executable forces it back) —
+        # hence shift/magnitude/notch live in a second tiny executable.
+        # Bit-identical to doppler_process_range_major + notch; ~20% off
+        # the per-slice Doppler time.
+        n_cpi = prof.prt_per_frame
+        w_col = jnp.asarray(window, jnp.float32)[:, None]
+        shift_idx = np.fft.fftshift(np.arange(n_cpi))
+        hw = matlab_round(n_cpi / prof.mtd.notch_divisor)
+        center = matlab_round(n_cpi / 2) - 1
+        keep = np.ones(n_cpi, np.float32)
+        keep[center - hw : center + hw + 1] = 0.0
+        keep_row = jnp.asarray(keep)[None, :]
+
         @functools.partial(jax.jit, static_argnums=(2,))
-        def rdm_fn(pc, i, start):                        # -> (3404, 332)
+        def spec_fn(pc, i, start):                       # -> (3404, 332) c64
             sl = jax.lax.dynamic_slice_in_dim(pc, i, 1, axis=0)[0]
-            sl = jax.lax.slice_in_dim(
-                sl, start, start + prof.prt_per_frame, axis=-2
-            )
-            # range-major layout: the pulse-axis FFT works range-major
-            # internally on XLA CPU (no transpose materialized) and the
-            # CFAR velocity pass runs along the contiguous axis
-            rdm = doppler_process_range_major(sl, window)
-            return zero_velocity_notch(
-                rdm, divisor=prof.mtd.notch_divisor, velocity_axis=-1
-            )
+            sl = jax.lax.slice_in_dim(sl, start, start + n_cpi, axis=-2)
+            return jnp.fft.fft(sl * w_col, axis=0).T
+
+        @jax.jit
+        def mag_fn(spec_t):                              # shift+|.|+notch
+            return jnp.abs(spec_t[:, shift_idx]) * keep_row
+
+        def rdm_fn(pc, i, start):
+            return mag_fn(spec_fn(pc, i, start))
 
         # two-executable split CFAR cascade: XLA CPU duplicates fused
         # producers into every consumer within one executable, so the
