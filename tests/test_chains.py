@@ -165,11 +165,19 @@ def test_g0_pc_and_mtd_match_numpy_oracle(rng):
 
 
 def test_g0_split_path_matches_one_executable():
-    """The CPU Python-composed G0 chain == the single-jit chain, bit-exact."""
-    import jax
+    """The CPU Python-composed G0 chain matches the single-jit chain.
 
+    XLA CPU's threaded 2048-point padded FFT is nondeterministic ACROSS
+    CALLS of one executable (two observed outcomes, ~1e-2 absolute spread
+    on the |R|-|L| monopulse difference where cancellation amplifies it),
+    so RDM fields are compared with tolerances sized to that spread, not
+    bit-exactly.  The CFAR cascade IS bit-stable given the same RDM
+    (lockstep contract), so the split path's flags must equal the cascade
+    recomputed from its own returned RDM exactly.
+    """
     from radar_signal_process_tpu.config import G0_PROFILE
     from radar_signal_process_tpu.models.g0_chain import G0Chain
+    from radar_signal_process_tpu.ops.cfar import cascaded_cfar2d
 
     rng = np.random.default_rng(5)
     prof = G0_PROFILE
@@ -180,10 +188,31 @@ def test_g0_split_path_matches_one_executable():
     right = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
         np.complex64
     )
-    res_split = G0Chain(prof, use_split=True).process_frame(left, right)
+    split_chain = G0Chain(prof, use_split=True)
+    res_split = split_chain.process_frame(left, right)
     res_one = G0Chain(prof, use_split=False).process_frame(left, right)
-    for a, b, name in zip(res_split, res_one, res_split._fields):
-        ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
-        for x, y in zip(ja, jb):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
-                                          err_msg=name)
+
+    for name in ("rdm_sum_short", "rdm_sum_long", "rdm_diff_short",
+                 "rdm_diff_long"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(res_split, name)),
+            np.asarray(getattr(res_one, name)),
+            rtol=1e-3, atol=0.05, err_msg=name,
+        )
+    # flags: bit-exact against the one-exec cascade run on the SPLIT path's
+    # own RDM (same-input bit-stability is the contract; cross-executable
+    # RDM ULP differences can legally flip threshold-margin cells)
+    want_f, want_v = cascaded_cfar2d(
+        res_split.rdm_sum_short, prof.cfar, split_chain.n_clutter
+    )
+    np.testing.assert_array_equal(np.asarray(res_split.flags_short),
+                                  np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(res_split.vflags_short),
+                                  np.asarray(want_v))
+    want_f, want_v = cascaded_cfar2d(
+        res_split.rdm_sum_long, prof.cfar, split_chain.n_clutter
+    )
+    np.testing.assert_array_equal(np.asarray(res_split.flags_long),
+                                  np.asarray(want_f))
+    np.testing.assert_array_equal(np.asarray(res_split.vflags_long),
+                                  np.asarray(want_v))
