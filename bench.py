@@ -193,8 +193,11 @@ def build_chain(beam_mapped: bool | None = None, profile=None, n_clutter: int = 
         shift_idx = np.fft.fftshift(np.arange(n_cpi))
         hw = matlab_round(n_cpi / prof.mtd.notch_divisor)
         center = matlab_round(n_cpi / 2) - 1
-        keep = np.ones(n_cpi, np.float32)
-        keep[center - hw : center + hw + 1] = 0.0
+        # index-comparison form (same as zero_velocity_notch): a slice
+        # keep[center-hw:...] would silently wrap to the tail if a profile
+        # made center - hw negative
+        idx = np.arange(n_cpi)
+        keep = (~((idx >= center - hw) & (idx <= center + hw))).astype(np.float32)
         keep_row = jnp.asarray(keep)[None, :]
 
         @functools.partial(jax.jit, static_argnums=(2,))

@@ -67,12 +67,16 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = _bind(ctypes.CDLL(lib_path))
     except (OSError, AttributeError):
-        # e.g. a hash-named binary built by an incompatible host
-        _build_error = _build(lib_path)
+        # e.g. a hash-named binary built by an incompatible host.  Rebuild
+        # to a FRESH filename: dlopen caches by path, so if the first CDLL
+        # succeeded but binding failed, a rebuild under the same name could
+        # be silently shadowed by the stale in-process mapping.
+        retry_path = lib_path[:-3] + f"-r{os.getpid()}.so"
+        _build_error = _build(retry_path)
         if _build_error:
             return None
         try:
-            lib = _bind(ctypes.CDLL(lib_path))
+            lib = _bind(ctypes.CDLL(retry_path))
         except (OSError, AttributeError) as e2:
             _build_error = f"rebuilt library unusable: {e2}"
             return None

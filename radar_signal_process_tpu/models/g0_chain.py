@@ -46,6 +46,23 @@ from radar_signal_process_tpu.ops.tables import angle_k_values, freq_value
 from radar_signal_process_tpu.ops.windows import make_window
 
 
+class G0FrameParams(NamedTuple):
+    """Per-frame frequency/beam-dependent quantities (traced).
+
+    The reference derives these inside its frame loop from the frame's own
+    ``freInd`` / ``beamPosNum`` (``DMX_SignalProcessing_main_xzr.m:310-315``
+    for fc/lambda and ``:506-516`` selecting the K value per frame), so a
+    frequency-hopping capture gets per-frame-correct velocity scales and
+    monopulse slopes.  Passing them as traced arrays lets ONE compiled
+    executable serve every frequency point.
+    """
+
+    v_scale: object     # (mtd_fft,) velocity scale, sign-inverted (:326-327)
+    delta_v: object     # scalar [m/s per Doppler bin]
+    k_value: object     # scalar monopulse slope K(freq, beam)
+    beam_pos: object    # scalar beam position number
+
+
 class G0FrameResult(NamedTuple):
     rdm_sum_short: jnp.ndarray    # (mtd_fft, point_short)
     rdm_sum_long: jnp.ndarray     # (mtd_fft, pc_fft)
@@ -62,7 +79,13 @@ class G0FrameResult(NamedTuple):
 
 
 class G0Chain:
-    """Compiled G0 end-to-end processor for a fixed (freq index, beam pos)."""
+    """Compiled G0 end-to-end processor.
+
+    ``freq_index``/``beam_pos`` set the *default* frequency point and beam
+    position; :meth:`process_frame` accepts per-frame overrides (parsed from
+    each frame's own header) with the frequency/beam-dependent scalars
+    traced, so frequency hopping reuses one compiled executable.
+    """
 
     def __init__(
         self,
@@ -107,13 +130,16 @@ class G0Chain:
 
         # ---- clutter / scales (:317-327, :462) ----
         delta_doppler = profile.prf / chain.mtd_fft_length
-        self.delta_v = self.wavelength * delta_doppler / 2.0
-        self.n_clutter = int(math.floor(chain.mtd_clutter_v / self.delta_v))
-        f_scale = np.fft.fftshift(
+        self._delta_doppler = delta_doppler
+        self._f_scale = np.fft.fftshift(
             np.arange(-chain.mtd_fft_length // 2, chain.mtd_fft_length // 2)
             * delta_doppler
         )
-        self.v_scale = -self.wavelength * f_scale / 2.0  # (:326-327)
+        self._params_cache: dict = {}
+        params, n_clutter = self.frame_params(freq_index, beam_pos)
+        self.v_scale = np.asarray(params.v_scale)
+        self.delta_v = float(params.delta_v)
+        self.n_clutter = n_clutter
         point_short = profile.segment_points[0]
         self.r_scale_short = (
             np.arange(point_short) * profile.delta_r
@@ -125,7 +151,7 @@ class G0Chain:
             + chain.r_sys_err_long
             - chain.r_measure_err_long
         )
-        self.k_value = float(angle_k_values(chain.sys_num)[freq_index, beam_pos])
+        self.k_value = float(params.k_value)
 
         # XLA CPU re-computes fused producers into every consumer within one
         # executable (see docs/tpu_design.md), so on CPU the chain runs as
@@ -135,16 +161,63 @@ class G0Chain:
         if use_split is None:
             use_split = jax.default_backend() != "tpu"
         self._use_split = use_split
-        self._process = jax.jit(self._process_impl)
-        self._front = jax.jit(self._front_impl)
-        self._finish = jax.jit(self._finish_impl)
+        import functools
+
+        # n_clutter is static (it sets notch/CFAR crop geometry); the
+        # frequency/beam-dependent scalars are traced via G0FrameParams, so
+        # one executable serves every frequency point with the same
+        # n_clutter (the 11-point table yields at most two distinct values)
+        self._process = jax.jit(self._process_impl, static_argnums=(3,))
+        self._front = jax.jit(self._front_impl, static_argnums=(2,))
+        self._finish = jax.jit(self._finish_impl, static_argnums=(7,))
+        self._cfar_split_cache: dict = {}
+
+    def _cfar_split_for(self, n_clutter: int):
         # the shared two-executable split cascade (models.detect); the G0
         # front applies its own unshifted clutter zeroing, so no re-notch
         from radar_signal_process_tpu.models.detect import make_split_detector
 
-        self._cfar_split = make_split_detector(
-            profile, self.n_clutter, cfg=profile.cfar, renotch_divisor=None
+        det = self._cfar_split_cache.get(n_clutter)
+        if det is None:
+            det = make_split_detector(
+                self.profile, n_clutter, cfg=self.profile.cfar,
+                renotch_divisor=None,
+            )
+            self._cfar_split_cache[n_clutter] = det
+        return det
+
+    def frame_params(
+        self, freq_index: int, beam_pos: int
+    ) -> "tuple[G0FrameParams, int]":
+        """Frequency/beam-dependent scalars for one frame.
+
+        Host-side float64 computation identical to the reference's in-loop
+        derivation (``DMX_SignalProcessing_main_xzr.m:310-327,506-516``):
+        fc from the 11-point frequency table, lambda = c/fc, the
+        sign-inverted velocity scale, delta-v, the clutter-row count and the
+        monopulse K value for (freq, beam).
+        """
+        key = (int(freq_index), int(beam_pos))
+        hit = self._params_cache.get(key)
+        if hit is not None:
+            return hit
+        chain = self.chain
+        fc = freq_value(key[0])
+        wavelength = 299792458.0 / fc                      # lamda = c/fc (:315)
+        delta_v = wavelength * self._delta_doppler / 2.0
+        n_clutter = int(math.floor(chain.mtd_clutter_v / delta_v))
+        v_scale = -wavelength * self._f_scale / 2.0        # (:326-327)
+        k_value = float(angle_k_values(chain.sys_num)[key[0], key[1]])
+        # Python scalars stay weakly typed under trace, matching the dtype
+        # promotion the previous baked-constant form had on every backend.
+        params = G0FrameParams(
+            v_scale=v_scale,
+            delta_v=float(delta_v),
+            k_value=float(k_value),
+            beam_pos=int(key[1]),
         )
+        self._params_cache[key] = (params, n_clutter)
+        return params, n_clutter
 
     def compensate_angle(self, angle_code: np.ndarray) -> np.ndarray:
         """North-angle compensation: rem(angle + northAngle + angleE1, 360) (:310)."""
@@ -190,7 +263,7 @@ class G0Chain:
             )
         return jnp.abs(self._mtd(mf))
 
-    def _front_impl(self, left: jnp.ndarray, right: jnp.ndarray):
+    def _front_impl(self, left: jnp.ndarray, right: jnp.ndarray, n_clutter: int):
         """PC -> |MTD| -> monopulse sum/diff -> clutter notch."""
         short_mf, long_mf = self._pc(left, right)
         abs_short = self._mtd_mag(short_mf)   # (2, mtd_fft, point_short)
@@ -200,31 +273,40 @@ class G0Chain:
         diff_short = abs_short[1] - abs_short[0]    # |R| - |L| (:425-426)
         diff_long = abs_long[1] - abs_long[0]
 
-        sum_short = zero_velocity_notch_unshifted(sum_short, self.n_clutter)
-        sum_long = zero_velocity_notch_unshifted(sum_long, self.n_clutter)
+        sum_short = zero_velocity_notch_unshifted(sum_short, n_clutter)
+        sum_long = zero_velocity_notch_unshifted(sum_long, n_clutter)
         return sum_short, sum_long, diff_short, diff_long
 
-    def _process_impl(self, left: jnp.ndarray, right: jnp.ndarray) -> G0FrameResult:
+    def _process_impl(
+        self,
+        left: jnp.ndarray,
+        right: jnp.ndarray,
+        params: G0FrameParams,
+        n_clutter: int,
+    ) -> G0FrameResult:
         prof = self.profile
         cfar = prof.cfar
 
-        sum_short, sum_long, diff_short, diff_long = self._front_impl(left, right)
+        sum_short, sum_long, diff_short, diff_long = self._front_impl(
+            left, right, n_clutter
+        )
 
         if jax.default_backend() == "tpu":
             from radar_signal_process_tpu.kernels import cascaded_cfar2d_pallas
 
             flags_s, vflags_s = cascaded_cfar2d_pallas(
-                sum_short.astype(jnp.float32), cfar, self.n_clutter
+                sum_short.astype(jnp.float32), cfar, n_clutter
             )
             flags_l, vflags_l = cascaded_cfar2d_pallas(
-                sum_long.astype(jnp.float32), cfar, self.n_clutter
+                sum_long.astype(jnp.float32), cfar, n_clutter
             )
         else:
-            flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, self.n_clutter)
-            flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, self.n_clutter)
+            flags_s, vflags_s = cascaded_cfar2d(sum_short, cfar, n_clutter)
+            flags_l, vflags_l = cascaded_cfar2d(sum_long, cfar, n_clutter)
 
         dets_s, dets_l, meas_s, meas_l = self._finish_impl(
-            sum_short, sum_long, diff_short, diff_long, flags_s, flags_l
+            sum_short, sum_long, diff_short, diff_long, flags_s, flags_l,
+            params, n_clutter,
         )
         return G0FrameResult(
             rdm_sum_short=sum_short, rdm_sum_long=sum_long,
@@ -236,7 +318,7 @@ class G0Chain:
         )
 
     def _finish_impl(self, sum_short, sum_long, diff_short, diff_long,
-                     flags_s, flags_l):
+                     flags_s, flags_l, params: G0FrameParams, n_clutter: int):
         """CFAR flags -> padded detection lists -> sub-bin measurements."""
         prof = self.profile
         dets_s = extract_detections(flags_s, sum_short, self.max_detections)
@@ -244,12 +326,12 @@ class G0Chain:
 
         common = dict(
             delta_r=prof.delta_r,
-            v_scale=self.v_scale,
-            delta_v=self.delta_v,
-            k_value=self.k_value,
-            beam_pos=self.beam_pos,
+            v_scale=params.v_scale,
+            delta_v=params.delta_v,
+            k_value=params.k_value,
+            beam_pos=params.beam_pos,
             beam_angle_step=self.chain.beam_angle_step,
-            n_clutter=self.n_clutter,
+            n_clutter=n_clutter,
             extra_dots=self.chain.extra_dots,
             r_interp=self.chain.r_interp_times,
             v_interp=self.chain.v_interp_times,
@@ -264,15 +346,37 @@ class G0Chain:
         )
         return dets_s, dets_l, meas_s, meas_l
 
-    def process_frame(self, left, right) -> G0FrameResult:
-        """Process one frame: ``left``/``right`` (prt_per_frame, point_prt)."""
+    def process_frame(
+        self,
+        left,
+        right,
+        freq_index: int | None = None,
+        beam_pos: int | None = None,
+    ) -> G0FrameResult:
+        """Process one frame: ``left``/``right`` (prt_per_frame, point_prt).
+
+        ``freq_index``/``beam_pos`` default to the values the chain was
+        constructed with; pass the frame's own parsed ``freInd`` /
+        ``beamPosNum`` for per-frame frequency/beam agility (the reference
+        derives lambda, the velocity scale and the monopulse K value inside
+        its frame loop, ``DMX_SignalProcessing_main_xzr.m:310-315,506-516``).
+        """
+        params, n_clutter = self.frame_params(
+            self.freq_index if freq_index is None else freq_index,
+            self.beam_pos if beam_pos is None else beam_pos,
+        )
         if not self._use_split:
-            return self._process(jnp.asarray(left), jnp.asarray(right))
-        ss, sl, ds, dl = self._front(jnp.asarray(left), jnp.asarray(right))
-        flags_s, vflags_s = self._cfar_split(ss)
-        flags_l, vflags_l = self._cfar_split(sl)
+            return self._process(
+                jnp.asarray(left), jnp.asarray(right), params, n_clutter
+            )
+        ss, sl, ds, dl = self._front(
+            jnp.asarray(left), jnp.asarray(right), n_clutter
+        )
+        cfar_split = self._cfar_split_for(n_clutter)
+        flags_s, vflags_s = cfar_split(ss)
+        flags_l, vflags_l = cfar_split(sl)
         dets_s, dets_l, meas_s, meas_l = self._finish(
-            ss, sl, ds, dl, flags_s, flags_l
+            ss, sl, ds, dl, flags_s, flags_l, params, n_clutter
         )
         return G0FrameResult(
             rdm_sum_short=ss, rdm_sum_long=sl,

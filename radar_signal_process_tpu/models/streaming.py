@@ -27,8 +27,8 @@ from radar_signal_process_tpu.utils.logging import Counters
 class StreamResult(NamedTuple):
     frame_idx: int
     rdms: jnp.ndarray        # (n_beams, win_size, n_prt, n_points)
-    flags: jnp.ndarray
-    detections: object       # DetectionList for the selected beam/slice
+    flags: jnp.ndarray       # (n_beams, win_size, n_prt, n_points) bool
+    detections: object       # DetectionList batched over (n_beams, win_size)
 
 
 class StreamingPipeline:
@@ -36,6 +36,11 @@ class StreamingPipeline:
 
     ``reader`` is any object with ``read_frame(idx) -> FrameResult``
     (``ingest.G2FrameReader`` or ``ingest.NativeG2FrameReader``).
+
+    Detection runs over the FULL (beam, win_slice) RDM stack — the
+    reference's stage 3 processes every beam and every window slice
+    (``main_cfar.m:85-96``) — yielding a batched detection list plus
+    per-frame CFAR-hit counters.
     """
 
     def __init__(
@@ -47,8 +52,6 @@ class StreamingPipeline:
         max_frames: int = 10_000,
         clutter_v: float = 3.0,
         max_detections: int = 64,
-        beam: int = 0,
-        win_slice: int = 0,
         dbf_coeffs: np.ndarray | None = None,
         use_host_parallel: bool | None = None,
     ):
@@ -60,27 +63,43 @@ class StreamingPipeline:
         self.win_size = win_size
         self.prefetch = prefetch
         self.max_frames = max_frames
-        self.beam = beam
-        self.win_slice = win_slice
         self.counters = Counters()
         # CPU backends run the frame chain as host-threaded composed stage
         # executables (see models/host_parallel.py); TPU keeps the single
         # batched jit with the fused Pallas kernels.
         if use_host_parallel is None:
             use_host_parallel = jax.default_backend() == "cpu"
+        n_clutter = clutter_cells(profile, profile.prt_per_frame, clutter_v)
         if use_host_parallel:
+            import functools
+
             from radar_signal_process_tpu.models.host_parallel import (
+                make_cpu_flags,
                 make_cpu_frame_processor,
             )
+            from radar_signal_process_tpu.ops.measure import extract_detections
 
             self._process = make_cpu_frame_processor(profile, win_size)
+            flags_fn = make_cpu_flags(profile, n_clutter)
+            extract = jax.jit(
+                functools.partial(extract_detections, max_detections=max_detections)
+            )
+
+            def detect_stack(rdms):
+                flags, _ = flags_fn(rdms)
+                return flags, extract(jnp.asarray(flags), rdms)
+
         else:
             self._process = make_frame_processor(profile, win_size)
-        self._detector = make_detector(
-            profile,
-            n_clutter=clutter_cells(profile, profile.prt_per_frame, clutter_v),
-            max_detections=max_detections,
-        )
+            batched = make_detector(
+                profile, n_clutter=n_clutter, max_detections=max_detections
+            )
+
+            def detect_stack(rdms):
+                flags, _, dets = batched(rdms)
+                return flags, dets
+
+        self._detect_stack = detect_stack
         self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
         self._producer_error: Optional[BaseException] = None
@@ -130,8 +149,9 @@ class StreamingPipeline:
             idx, dev = item
             if prev is not None and idx == prev_idx + 1:
                 rdms = self._process(prev, dev)
-                flags, _, dets = self._detector(rdms[self.beam, self.win_slice])
+                flags, dets = self._detect_stack(rdms)
                 self.counters.add("windows_processed")
+                self.counters.add("cfar_hits", int(np.asarray(flags).sum()))
                 yield StreamResult(prev_idx, rdms, flags, dets)
             prev, prev_idx = dev, idx
         self._thread.join()

@@ -435,6 +435,18 @@ def make_pipeline_parallel(
     n_pp = mesh.shape[pp_axis]
     if n_pp not in (2, 3):
         raise ValueError(f"pipeline depth must be 2 or 3, got {n_pp}")
+    # fail loud on profile options the stage functions do not thread through
+    # (mtd_produce honors these; silently diverging from the documented
+    # bit-identity contract would be worse than refusing)
+    if profile.mtd.fft_length:
+        raise ValueError("make_pipeline_parallel does not support mtd.fft_length")
+    if profile.mtd.mti_lag:
+        raise ValueError("make_pipeline_parallel does not support mtd.mti_lag")
+    if not profile.mtd.fftshift:
+        raise ValueError(
+            "make_pipeline_parallel requires fftshift=True (the CFAR stage "
+            "re-notches with the shifted-spectrum convention)"
+        )
     segments = profile.cfar_segments if segmented else ()
     if segments and segments[-1][1] != profile.point_prt:
         segments = ()
@@ -448,8 +460,10 @@ def make_pipeline_parallel(
         return make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
 
     def s_doppler_spec(x):
-        # windowed (shifted) Doppler spectrum, complex — magnitude deferred
-        w = jnp.asarray(_window(x.shape[-2]), dtype=jnp.float32)[:, None]
+        # windowed (shifted) Doppler spectrum, complex — magnitude deferred.
+        # Window dtype follows the input (as doppler_process does) so the
+        # pp=3 path stays bit-identical to pp=2 for complex128 inputs too.
+        w = jnp.asarray(_window(x.shape[-2]), dtype=jnp.real(x).dtype)[:, None]
         spec = jnp.fft.fft(x * w, axis=-2)
         if profile.mtd.fftshift:
             spec = jnp.fft.fftshift(spec, axes=-2)
@@ -610,9 +624,22 @@ def make_expert_parallel(
     )
 
     @jax.jit
-    def run(frames: jnp.ndarray, beam_ids: jnp.ndarray):
+    def _run(frames: jnp.ndarray, beam_ids: jnp.ndarray):
         # the calibration table enters SHARDED over ep (the expert axis):
         # device d holds rows [d*beams_per, (d+1)*beams_per)
         return mapped(frames, beam_ids, cal)
+
+    def run(frames: jnp.ndarray, beam_ids: jnp.ndarray):
+        # Host-side id validation: an out-of-range beam_id would otherwise
+        # be scatter-dropped (mode="drop") — zero output indistinguishable
+        # from capacity overflow.  Capacity drops are MoE semantics; bogus
+        # ids are caller bugs and must raise.
+        ids = np.asarray(beam_ids)
+        if ids.size and (ids.min() < 0 or ids.max() >= n_beams):
+            bad = ids[(ids < 0) | (ids >= n_beams)]
+            raise ValueError(
+                f"beam_ids out of range [0, {n_beams}): {bad[:8].tolist()}"
+            )
+        return _run(frames, beam_ids)
 
     return run

@@ -151,10 +151,19 @@ def write_g1_capture(
     right: np.ndarray,
     frames_per_file: int = 10,
     angle_deg: float = 45.0,
+    freq_index=1,
+    beam_pos=0,
 ) -> None:
-    """Write a G1 capture: ``left``/``right`` (n_frames, n_prt, points)."""
+    """Write a G1 capture: ``left``/``right`` (n_frames, n_prt, points).
+
+    ``freq_index``/``beam_pos`` may be scalars or per-frame sequences — a
+    sequence produces a frequency-hopping / beam-scanning capture (the real
+    radar hops over the 11-point frequency table; ``freValueGen.m:3-29``).
+    """
     os.makedirs(root, exist_ok=True)
     n_frames, n_prt = left.shape[:2]
+    fi = np.broadcast_to(np.asarray(freq_index, dtype=np.int64), (n_frames,))
+    bp = np.broadcast_to(np.asarray(beam_pos, dtype=np.int64), (n_frames,))
     file_idx, fh = 1, None
     for f in range(n_frames):
         if f % frames_per_file == 0:
@@ -167,6 +176,7 @@ def write_g1_capture(
                 g1_prt_packet(
                     left[f, p], right[f, p],
                     frame_no=f, prt_no=p, angle_deg=angle_deg,
+                    freq_index=int(fi[f]), beam_pos=int(bp[f]),
                 )
             )
     if fh:

@@ -82,19 +82,55 @@ def save_frame_mat(path: str, iq: np.ndarray, servo_angle: np.ndarray) -> str:
     return path
 
 
+def save_g1_frame_mat(
+    path: str, left: np.ndarray, right: np.ndarray, angle_codes: np.ndarray
+) -> str:
+    """Write a G1 stage-1 frame: the two-beam contract the reference's G1
+    driver saves (``MatlabProcess_xuzerui/bin_to_mat_xzr.m:18-20``):
+    ``echoData_Frame_0`` / ``echoData_Frame_1`` (prt, sample) complex plus
+    the per-PRT ``angleCodeSeries``."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    _sio().savemat(
+        path,
+        {
+            "echoData_Frame_0": np.asarray(left),
+            "echoData_Frame_1": np.asarray(right),
+            "angleCodeSeries": np.asarray(
+                angle_codes, dtype=np.float64
+            ).reshape(1, -1),
+        },
+        do_compression=True,
+    )
+    return path
+
+
 def load_frame_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Read a stage-1 frame -> (iq (prt, sample, beam), servo_angle (prt,))."""
+    """Read a stage-1 frame -> (iq (prt, sample, beam), servo_angle (prt,)).
+
+    Accepts both reference contracts: the G2 ``sig_data_DBF_allprts`` beam
+    cube and the G1 two-beam ``echoData_Frame_0``/``echoData_Frame_1`` pair
+    (whose ``angleCodeSeries`` maps onto the servo-angle slot).
+    """
     m = _sio().loadmat(path)
-    if "sig_data_DBF_allprts" not in m:  # main_produce_dataset_win_xzr_v2.m:89-93
-        raise KeyError(
-            f"{path}: variable 'sig_data_DBF_allprts' not found "
-            f"(keys: {[k for k in m if not k.startswith('__')]})"
+    if "sig_data_DBF_allprts" in m:  # main_produce_dataset_win_xzr_v2.m:89-93
+        iq = np.asarray(m["sig_data_DBF_allprts"])
+        if iq.ndim == 2:  # single-beam saves lose the trailing singleton
+            iq = iq[:, :, None]
+        servo = np.asarray(m.get("servo_angle", np.zeros((1, iq.shape[0])))).ravel()
+        return iq, servo
+    if "echoData_Frame_0" in m:
+        iq = np.stack(
+            [np.asarray(m["echoData_Frame_0"]), np.asarray(m["echoData_Frame_1"])],
+            axis=-1,
         )
-    iq = np.asarray(m["sig_data_DBF_allprts"])
-    if iq.ndim == 2:  # single-beam saves lose the trailing singleton
-        iq = iq[:, :, None]
-    servo = np.asarray(m.get("servo_angle", np.zeros((1, iq.shape[0])))).ravel()
-    return iq, servo
+        servo = np.asarray(
+            m.get("angleCodeSeries", np.zeros((1, iq.shape[0])))
+        ).ravel()
+        return iq, servo
+    raise KeyError(
+        f"{path}: no 'sig_data_DBF_allprts' or 'echoData_Frame_0' variable "
+        f"(keys: {[k for k in m if not k.startswith('__')]})"
+    )
 
 
 # ---------------------------------------------------------------- stage 2

@@ -127,3 +127,81 @@ def test_cli_e2e_mesh_matches_single_device(tmp_path, capsys, monkeypatch):
     meshed = run(["--mesh", "2x2"])
     assert meshed == plain
     assert any(f["detections"] for f in plain["frames"])
+
+
+def test_cli_ingest_g1_roundtrip(tmp_path, capsys, monkeypatch):
+    """`cli ingest --profile G1` (VERDICT r2 item 3): stage-1 artifacts are
+    bit-equal to the packet reader's output, and the G1 artifacts flow on
+    through mtd and detect (the reference's G1 stage-1 driver
+    ``MatlabProcess_xuzerui/bin_to_mat_xzr.m`` + downstream stages)."""
+    from radar_signal_process_tpu.config import G1_PROFILE
+    from radar_signal_process_tpu.ingest import native_available
+    from radar_signal_process_tpu.ingest.packets import G1FrameReader
+    from radar_signal_process_tpu.sim.packets_synth import write_g1_capture
+    from radar_signal_process_tpu.utils import matbus
+
+    tg1 = dataclasses.replace(
+        G1_PROFILE,
+        prt_per_frame=32,
+        point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    monkeypatch.setitem(PROFILES, "TG1", tg1)
+
+    rng = np.random.default_rng(7)
+    shape = (3, 32, 344)
+    left = rng.integers(-60000, 60000, shape) + 1j * rng.integers(-60000, 60000, shape)
+    right = rng.integers(-60000, 60000, shape) + 1j * rng.integers(-60000, 60000, shape)
+    cap = tmp_path / "capture"
+    write_g1_capture(str(cap), left, right, frames_per_file=2, angle_deg=33.0)
+
+    frames_dir = str(tmp_path / "frames")
+    assert cli.main([
+        "ingest", "--input", str(cap), "--output", frames_dir,
+        "--profile", "TG1", "--frames", "3", "--frames-per-file", "2",
+    ]) == 0
+
+    # bit-equality with the packet reader the CLI used (native or NumPy)
+    reader_cls = G1FrameReader
+    if native_available():
+        from radar_signal_process_tpu.ingest.native_loader import NativeG1FrameReader
+
+        reader_cls = NativeG1FrameReader
+    reader = reader_cls(str(cap), prt_num=32, point_prt=344, frames_per_file=2)
+    for f in range(3):
+        l_ref, r_ref, ang_ref, meta_ref = reader.read_frame(f + 1)
+        arrays, prof, meta = load_frame(frames_dir, f)
+        assert prof == tg1
+        np.testing.assert_array_equal(arrays["iq"][..., 0], l_ref)
+        np.testing.assert_array_equal(arrays["iq"][..., 1], r_ref)
+        np.testing.assert_array_equal(arrays["servo_angle"], ang_ref)
+        assert meta["freq_index"] == meta_ref["freq_index"]
+
+    # the MATLAB-bus form writes the reference's echoData_Frame_0/1 contract
+    mat_dir = str(tmp_path / "frames_mat")
+    assert cli.main([
+        "ingest", "--input", str(cap), "--output", mat_dir,
+        "--profile", "TG1", "--frames", "1", "--frames-per-file", "2",
+        "--format", "mat",
+    ]) == 0
+    iq_mat, ang_mat = matbus.load_frame_mat(matbus.mat_frame_path(mat_dir, 0))
+    l_ref, r_ref, ang_ref, _ = reader.read_frame(1)
+    np.testing.assert_array_equal(iq_mat[..., 0], l_ref)
+    np.testing.assert_array_equal(ang_mat, ang_ref)
+
+    # downstream stages consume the G1 artifacts unchanged
+    rdm_dir = str(tmp_path / "rdm")
+    det_dir = str(tmp_path / "det")
+    assert cli.main([
+        "mtd", "--input", frames_dir, "--output", rdm_dir, "--profile", "TG1",
+        "--frames", "2", "--win-size", "2",
+    ]) == 0
+    arrays, _, _ = load_frame(rdm_dir, 0)
+    assert arrays["rdm"].shape == (2, 2, 32, 344)
+    assert cli.main([
+        "detect", "--input", rdm_dir, "--output", det_dir, "--profile", "TG1",
+        "--frames", "2", "--threshold", "5",
+    ]) == 0
+    arrays, _, _ = load_frame(det_dir, 0)
+    assert arrays["flags"].shape == (2, 2, 32, 344)

@@ -64,6 +64,77 @@ def test_dmx_cli_end_to_end(tmp_path, rng, capsys):
     assert any(abs(r - r_expected) < 2 * prof.delta_r for r in rngs)
 
 
+def test_g0_chain_per_frame_agility(rng):
+    """process_frame(freq_index=, beam_pos=) == a chain constructed fixed at
+    those values — the traced per-frame parameters are bit-faithful
+    (DMX_SignalProcessing_main_xzr.m:310-315,506-516)."""
+    prof = G0_PROFILE
+    cfg = G0ChainConfig()
+    n = prof.prt_per_frame
+    fd = -60 * prof.prf / cfg.mtd_fft_length
+    p_short, p_long = reference_pulses(prof)
+    m = np.arange(n)
+    ramp = np.exp(1j * 2 * np.pi * fd * m * prof.prt)
+    base = np.zeros((n, prof.point_prt), dtype=np.complex128)
+    s0, s1 = prof.segment_starts
+    base[:, s0 + 20 : s0 + 20 + len(p_short)] += ramp[:, None] * p_short[None, :]
+    base[:, s1 + 100 : s1 + 100 + len(p_long)] += ramp[:, None] * p_long[None, :]
+    left = (5000.0 * base + rng.standard_normal((n, prof.point_prt))).astype(
+        np.complex64
+    )
+    right = (0.8 * left).astype(np.complex64)
+
+    agile = G0Chain(prof, cfg, freq_index=5, beam_pos=0)
+    for fi, bp in ((0, 1), (10, 3)):
+        got = agile.process_frame(left, right, freq_index=fi, beam_pos=bp)
+        fixed = G0Chain(prof, cfg, freq_index=fi, beam_pos=bp)
+        want = fixed.process_frame(left, right)
+        for field in ("range_m", "velocity_ms", "elevation_deg", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.measurements_long, field)),
+                np.asarray(getattr(want.measurements_long, field)),
+                err_msg=f"({fi},{bp}) {field}",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(got.flags_long), np.asarray(want.flags_long)
+        )
+        # the per-frame parameters actually differ from the defaults
+        assert fixed.k_value != agile.k_value or fi == 5
+
+
+def test_dmx_cli_freq_hop_capture(tmp_path, rng, capsys):
+    """cli dmx with no --freq-index/--beam-pos derives both from each
+    frame's own parsed header (agile mode)."""
+    prof = G0_PROFILE
+    cfg = G0ChainConfig()
+    n = prof.prt_per_frame
+    fd = -60 * prof.prf / cfg.mtd_fft_length
+    p_short, p_long = reference_pulses(prof)
+    ramp = np.exp(1j * 2 * np.pi * fd * np.arange(n) * prof.prt)
+    base = np.zeros((n, prof.point_prt), dtype=np.complex128)
+    s0, s1 = prof.segment_starts
+    base[:, s1 + 100 : s1 + 100 + len(p_long)] += ramp[:, None] * p_long[None, :]
+    left = np.round(5000.0 * base.real) + 1j * np.round(5000.0 * base.imag)
+    right = 0.8 * left
+    write_g1_capture(
+        str(tmp_path),
+        np.stack([left, left]), np.stack([right, right]),
+        freq_index=[2, 9], beam_pos=[1, 4],
+    )
+
+    assert cli.main(["dmx", "--input", str(tmp_path), "--frames", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [f["freq_index"] for f in out["frames"]] == [2, 9]
+    assert [f["beam_pos"] for f in out["frames"]] == [1, 4]
+    # same echo, different beam position -> elevation estimates shift by
+    # ~ (4-1)*beam_angle_step plus the K-value-difference term
+    e1 = out["frames"][0]["long"]["elevation_deg"]
+    e2 = out["frames"][1]["long"]["elevation_deg"]
+    assert e1 and e2
+    shift = e2[0] - e1[0]
+    assert abs(shift - 3 * cfg.beam_angle_step) < 3.0, shift
+
+
 def test_dmx_cli_save_results(tmp_path, rng, capsys):
     """--save-results writes resultData_<clock>.mat with the config echo
     (DMX_SignalProcessing_main_xzr.m:603-612)."""

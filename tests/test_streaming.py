@@ -108,3 +108,40 @@ def test_streaming_with_device_dbf(tmp_path, rng):
     results = list(pipe)
     assert [r.frame_idx for r in results] == [0, 1]
     assert results[0].rdms.shape == (SMALL.n_beams, 2, 16, 128)
+
+
+def test_streaming_all_beam_detection(tmp_path, rng):
+    """Detection runs over the FULL (beam, slice) stack (main_cfar.m:85-96):
+    a target present only in beam 1 is found in every window slice there,
+    not just at (beam 0, slice 0)."""
+    n_frames = 3
+    n, pts = SMALL.prt_per_frame, SMALL.point_prt
+    shape = (n_frames, n, pts, SMALL.n_channels)
+    iq = (rng.integers(-200, 200, shape) + 1j * rng.integers(-200, 200, shape)).astype(
+        np.complex128
+    )
+    # moving target ONLY in channel/beam 1: Doppler ~prf/4, range cell 100,
+    # phase continuous across frames so the doubled-CPI window stays coherent
+    m = np.arange(n_frames * n).reshape(n_frames, n)
+    iq[:, :, 100, 1] += 30000.0 * np.exp(1j * 2 * np.pi * 0.25 * m)
+    write_g2_capture(str(tmp_path), iq, SMALL, data_type=1)
+
+    pipe = StreamingPipeline(
+        G2FrameReader(str(tmp_path), SMALL), SMALL, win_size=2,
+        max_frames=n_frames, clutter_v=1e-6, max_detections=8,
+    )
+    results = list(pipe)
+    assert [r.frame_idx for r in results] == [0, 1]
+    r0 = results[0]
+    assert r0.flags.shape == (SMALL.n_beams, 2, n, pts)
+    valid = np.asarray(r0.detections.valid)       # (beam, slice, K)
+    assert valid.shape[:2] == (SMALL.n_beams, 2)
+    # beam 1 detects in EVERY slice, including slice != 0
+    assert valid[1].any(axis=-1).all(), valid.sum(axis=-1)
+    # the target beam dominates the noise-only beam
+    flags = np.asarray(r0.flags)
+    assert flags[1].sum() > flags[0].sum()
+    # and the per-frame hit counter saw them
+    assert pipe.counters.get("cfar_hits") == sum(
+        int(np.asarray(r.flags).sum()) for r in results
+    )
