@@ -107,6 +107,126 @@ def two_phase_beam_map(
     return out
 
 
+def pipelined_window_map(
+    frames,
+    pc_fn: Callable,
+    starts,
+    item_fn: Callable,
+    n_threads: int,
+) -> list:
+    """Cross-frame pipelined driver with per-frame pulse-compression reuse.
+
+    In steady-state streaming, window ``w`` spans frames ``w`` and ``w+1``,
+    so every frame's PRT rows are consumed by TWO windows.  Compression is
+    per-row and window-independent, so compressing each FRAME once (instead
+    of each 2-frame window, as the reference's driver structure implies)
+    halves the PC work bit-identically — the Doppler stage re-assembles its
+    CPI slice from the two frames' compressed rows.
+
+    Scheduling: one dependency-aware work queue shared by all threads.  PC
+    jobs are per (frame, beam-chunk); slice items for (window w, chunk c)
+    become ready when frames w and w+1 both have chunk c compressed.  Ready
+    items are preferred; a thread with no ready item pulls the next PC job,
+    so frame w+1's compression overlaps window w-1's Doppler/CFAR items and
+    no phase barrier ever idles a worker.  Compressed chunks are freed as
+    soon as their last dependent item completes.
+
+    ``item_fn(acc, pc_a, pc_b, chunk_index, beam, w, slice_idx, start) ->
+    acc`` runs per item with a per-thread accumulator starting at ``None``;
+    per-thread final accumulators are returned.  Exceptions from any thread
+    re-raise after all workers stop.
+    """
+    n_frames = len(frames)
+    n_windows = n_frames - 1
+    if n_windows <= 0:
+        return [None] * n_threads
+    n_beams = frames[0].shape[0]
+    k = -(-n_beams // n_threads)
+    bounds = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
+    n_chunks = len(bounds)
+    n_slices = len(starts)
+
+    cond = threading.Condition()
+    pcs: dict = {}                      # (f, c) -> compressed chunk
+    pc_jobs = [(f, c) for f in range(n_frames) for c in range(n_chunks)]
+    next_pc = [0]
+    ready: list = []                    # ready (w, c, b, s) items, LIFO
+    items_left = [n_windows * n_beams * n_slices]
+    # remaining items per (w, c) and pc refcounts for freeing
+    win_chunk_left = {
+        (w, c): (bounds[c][1] - bounds[c][0]) * n_slices
+        for w in range(n_windows)
+        for c in range(n_chunks)
+    }
+    pc_refs = {
+        (f, c): (1 if f > 0 else 0) + (1 if f < n_windows else 0)
+        for f in range(n_frames)
+        for c in range(n_chunks)
+    }
+    out: list = [None] * n_threads
+    errors: List[BaseException] = []
+
+    def work(t: int) -> None:
+        acc = None
+        try:
+            while True:
+                with cond:
+                    job = None
+                    while job is None:
+                        if ready:
+                            job = ("item", ready.pop())
+                        elif next_pc[0] < len(pc_jobs):
+                            job = ("pc", pc_jobs[next_pc[0]])
+                            next_pc[0] += 1
+                        elif items_left[0] == 0 or errors:
+                            out[t] = acc
+                            return
+                        else:
+                            cond.wait()
+                if job[0] == "pc":
+                    f, c = job[1]
+                    lo, hi = bounds[c]
+                    pc = pc_fn(frames[f][lo:hi])
+                    with cond:
+                        pcs[(f, c)] = pc
+                        for w in (f - 1, f):
+                            if (
+                                0 <= w < n_windows
+                                and (w, c) in pcs
+                                and (w + 1, c) in pcs
+                            ):
+                                ready.extend(
+                                    (w, c, b, s)
+                                    for b in range(hi - lo)
+                                    for s in range(n_slices)
+                                )
+                        cond.notify_all()
+                else:
+                    w, c, b, s = job[1]
+                    acc = item_fn(
+                        acc, pcs[(w, c)], pcs[(w + 1, c)], c, b, w, s, starts[s]
+                    )
+                    with cond:
+                        items_left[0] -= 1
+                        win_chunk_left[(w, c)] -= 1
+                        if win_chunk_left[(w, c)] == 0:
+                            for f in (w, w + 1):
+                                pc_refs[(f, c)] -= 1
+                                if pc_refs[(f, c)] == 0:
+                                    pcs.pop((f, c), None)
+                        cond.notify_all()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            with cond:
+                errors.append(e)
+                cond.notify_all()
+            out[t] = acc
+
+    _thread_map(work, n_threads)
+    if errors:
+        raise errors[0]
+    return out
+
+
 def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
     """CPU-threaded equivalent of ``make_frame_processor``.
 

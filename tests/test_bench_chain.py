@@ -35,3 +35,30 @@ def test_threaded_chain_matches_batched(rng):
     # only by f32 accumulation order across chunks
     assert got[1] == want[1]
     np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
+
+
+def test_stream_chain_matches_batched(rng):
+    """The streaming chain (per-frame PC reuse + cross-frame pipelined
+    queue) computes bit-identical window flags to the batched chain."""
+    prof, stream = bench.build_stream_chain(profile=TINY, n_clutter=4)
+    _, batched = bench.build_chain(beam_mapped=False, profile=TINY, n_clutter=4)
+    shape = (TINY.n_beams, TINY.prt_per_frame, TINY.point_prt)
+    n_windows = 3
+    frames = [
+        jnp.asarray(
+            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+                np.complex64
+            )
+        )
+        for _ in range(n_windows + 1)
+    ]
+    got = np.sum(
+        np.asarray(jax.block_until_ready(stream(frames))), axis=0
+    )
+    want = np.zeros(2)
+    for w in range(n_windows):
+        win = jnp.concatenate([frames[w], frames[w + 1]], axis=-2)
+        want += np.asarray(jax.block_until_ready(batched(win)))
+    # flag counts are integral and must agree exactly across all windows
+    assert got[1] == want[1]
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
