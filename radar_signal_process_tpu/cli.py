@@ -241,14 +241,19 @@ def cmd_mtd(args) -> int:
     profile = PROFILES[args.profile]
     if jax.default_backend() == "cpu":
         # host-thread fan-out over beam chunks with split stage executables
-        # (see models.host_parallel) — ~2x on multi-core CPU hosts
+        # plus per-frame PC reuse across consecutive windows (see
+        # models.host_parallel) — ~2x on multi-core CPU hosts
         from radar_signal_process_tpu.models.host_parallel import (
-            make_cpu_frame_processor,
+            make_cpu_stream_processor,
         )
 
-        process = make_cpu_frame_processor(profile, win_size=args.win_size)
+        process = make_cpu_stream_processor(profile, win_size=args.win_size)
     else:
-        process = make_frame_processor(profile, win_size=args.win_size)
+        _p = make_frame_processor(profile, win_size=args.win_size)
+
+        def process(a, b, frame_idx=None):
+            return _p(a, b)
+
     timers = StageTimers()
     done = 0
     for frame_idx in range(args.frames):
@@ -265,7 +270,10 @@ def cmd_mtd(args) -> int:
         a = np.moveaxis(now["iq"], -1, 0)
         b = np.moveaxis(nxt["iq"], -1, 0)
         with timers.stage("mtd") as h:
-            rdms = process(jnp.asarray(a, jnp.complex64), jnp.asarray(b, jnp.complex64))
+            rdms = process(
+                jnp.asarray(a, jnp.complex64), jnp.asarray(b, jnp.complex64),
+                frame_idx=frame_idx,
+            )
             h["fence"] = rdms
         if args.format == "mat":
             from radar_signal_process_tpu.utils import matbus

@@ -294,6 +294,118 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
     return process
 
 
+def make_cpu_stream_processor(profile: RadarProfile, win_size: int = 4):
+    """Sequential-frame variant of ``make_cpu_frame_processor`` with
+    per-frame pulse-compression reuse.
+
+    ``process(frame_now, frame_next, frame_idx=None)`` returns the same
+    (n_beams, win_size, n_prt, n_points) RDM stack bit-identically, but
+    when called over consecutive ``frame_idx`` values each frame is
+    compressed ONCE and reused for both windows it feeds (PC is per-row
+    and window-independent) — half the steady-state compression work of
+    the per-window form.  The Doppler executable re-assembles each CPI
+    slice from the two frames' compressed rows.
+    """
+    import functools
+
+    from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
+
+    pulses = reference_pulses(profile)
+    window = make_window(
+        profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
+    )
+    n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
+    n_prt = profile.prt_per_frame
+    starts = window_slice_starts(n_prt, win_size)
+
+    @jax.jit
+    def pc_fn(beams):                            # (b, n_prt, pts)
+        return segmented_pulse_compression(beams, profile, pulses)
+
+    def _doppler(sl):
+        if profile.mtd.mti_lag:
+            from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+            sl = mti_cancel(sl, lag=profile.mtd.mti_lag)
+        rdm = doppler_process(sl, window, shift=profile.mtd.fftshift)
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        return rdm
+
+    @jax.jit
+    def rdm_first_fn(pc_a, b):                   # slice start == 0
+        return _doppler(jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0])
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def rdm_pair_fn(pc_a, pc_b, b, start):
+        a = jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0]
+        bb = jax.lax.dynamic_slice_in_dim(pc_b, b, 1, axis=0)[0]
+        ra = jax.lax.slice_in_dim(a, start, n_prt, axis=-2)
+        rb = jax.lax.slice_in_dim(bb, 0, start, axis=-2)
+        return _doppler(jnp.concatenate([ra, rb], axis=-2))
+
+    cache: dict = {}
+
+    def process(frame_now, frame_next, frame_idx=None) -> np.ndarray:
+        now = jnp.asarray(frame_now)
+        nxt = jnp.asarray(frame_next)
+        n_beams, _, n_pts = now.shape
+        k = -(-n_beams // n_threads)
+        bounds = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
+        offsets = [lo for lo, _ in bounds]
+        real_dtype = np.float64 if now.dtype == jnp.complex128 else np.float32
+        out = np.empty((n_beams, win_size, n_prt, n_pts), dtype=real_dtype)
+
+        pcs_now = cache.pop(frame_idx, None) if frame_idx is not None else None
+        if pcs_now is None:
+            pcs_now = [None] * len(bounds)
+            need_now = True
+        else:
+            need_now = False
+        pcs_nxt = [None] * len(bounds)
+
+        def pc_phase(ci):
+            lo, hi = bounds[ci]
+            if need_now:
+                pcs_now[ci] = pc_fn(now[lo:hi])
+            pcs_nxt[ci] = pc_fn(nxt[lo:hi])
+
+        # phase 1: compress missing frames per chunk (threaded); phase 2:
+        # dynamic queue over (chunk, beam, slice) items
+        _thread_map(pc_phase, len(bounds))
+        import itertools
+
+        counter = itertools.count()
+        items = [
+            (ci, b, w, start)
+            for ci, (lo, hi) in enumerate(bounds)
+            for b in range(hi - lo)
+            for w, start in enumerate(starts)
+        ]
+
+        def work(t):
+            while True:
+                j = next(counter)  # GIL-atomic
+                if j >= len(items):
+                    return
+                ci, b, w, start = items[j]
+                if start == 0:
+                    rdm = rdm_first_fn(pcs_now[ci], jnp.int32(b))
+                else:
+                    rdm = rdm_pair_fn(
+                        pcs_now[ci], pcs_nxt[ci], jnp.int32(b), start
+                    )
+                out[offsets[ci] + b, w] = np.asarray(rdm)
+
+        _thread_map(work, n_threads)
+        if frame_idx is not None:
+            cache.clear()
+            cache[frame_idx + 1] = pcs_nxt
+        return out
+
+    return process
+
+
 def make_cpu_flags(
     profile: RadarProfile,
     n_clutter: int,

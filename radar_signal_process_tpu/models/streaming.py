@@ -75,11 +75,12 @@ class StreamingPipeline:
 
             from radar_signal_process_tpu.models.host_parallel import (
                 make_cpu_flags,
-                make_cpu_frame_processor,
+                make_cpu_stream_processor,
             )
             from radar_signal_process_tpu.ops.measure import extract_detections
 
-            self._process = make_cpu_frame_processor(profile, win_size)
+            # per-frame PC reuse across consecutive windows
+            self._process = make_cpu_stream_processor(profile, win_size)
             flags_fn = make_cpu_flags(profile, n_clutter)
             extract = jax.jit(
                 functools.partial(extract_detections, max_detections=max_detections)
@@ -90,7 +91,12 @@ class StreamingPipeline:
                 return flags, extract(jnp.asarray(flags), rdms)
 
         else:
-            self._process = make_frame_processor(profile, win_size)
+            _p = make_frame_processor(profile, win_size)
+
+            def _process(a, b, frame_idx=None):
+                return _p(a, b)
+
+            self._process = _process
             batched = make_detector(
                 profile, n_clutter=n_clutter, max_detections=max_detections
             )
@@ -148,7 +154,7 @@ class StreamingPipeline:
                 break
             idx, dev = item
             if prev is not None and idx == prev_idx + 1:
-                rdms = self._process(prev, dev)
+                rdms = self._process(prev, dev, frame_idx=prev_idx)
                 flags, dets = self._detect_stack(rdms)
                 self.counters.add("windows_processed")
                 self.counters.add("cfar_hits", int(np.asarray(flags).sum()))

@@ -70,3 +70,32 @@ def test_two_phase_beam_map_error_propagates_without_deadlock():
 
     with pytest.raises((ValueError, TypeError)):
         two_phase_beam_map(parts, pc_bad, [0], item, n_threads=2)
+
+
+def test_cpu_stream_processor_matches_frame_processor(rng):
+    """Per-frame PC reuse across consecutive windows is bit-identical to
+    the per-window processor, on both the cache-miss and cache-hit paths
+    (and with MTI enabled)."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_frame_processor,
+        make_cpu_stream_processor,
+    )
+
+    for prof in (SMALL, dataclasses.replace(SMALL, mtd=MTDConfig(mti_lag=3))):
+        shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+        frames = [
+            jnp.asarray(
+                (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+                .astype(np.complex64)
+            )
+            for _ in range(3)
+        ]
+        ref = make_cpu_frame_processor(prof, win_size=2)
+        stream = make_cpu_stream_processor(prof, win_size=2)
+        for w in range(2):  # w=1 hits the PC cache from w=0
+            want = ref(frames[w], frames[w + 1])
+            got = stream(frames[w], frames[w + 1], frame_idx=w)
+            np.testing.assert_array_equal(got, want, err_msg=f"window {w}")
+        # non-sequential call (cache miss) still correct
+        got = stream(frames[0], frames[1], frame_idx=7)
+        np.testing.assert_array_equal(got, ref(frames[0], frames[1]))
