@@ -239,6 +239,16 @@ def cmd_mtd(args) -> int:
     from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
 
     profile = PROFILES[args.profile]
+    stc_curve = None
+    if getattr(args, "istc", None):
+        # iSTC gain compensation (fun_iSTC.m:6-15): load the textread-style
+        # dB curve and switch the dormant hook on for this run
+        import dataclasses as dc
+
+        from radar_signal_process_tpu.utils.dataset import load_stc_curve
+
+        stc_curve = load_stc_curve(args.istc)
+        profile = dc.replace(profile, mtd=dc.replace(profile.mtd, istc=True))
     if jax.default_backend() == "cpu":
         # host-thread fan-out over beam chunks with split stage executables
         # plus per-frame PC reuse across consecutive windows (see
@@ -247,9 +257,13 @@ def cmd_mtd(args) -> int:
             make_cpu_stream_processor,
         )
 
-        process = make_cpu_stream_processor(profile, win_size=args.win_size)
+        process = make_cpu_stream_processor(
+            profile, win_size=args.win_size, stc_curve_db=stc_curve
+        )
     else:
-        _p = make_frame_processor(profile, win_size=args.win_size)
+        _p = make_frame_processor(
+            profile, win_size=args.win_size, stc_curve_db=stc_curve
+        )
 
         def process(a, b, frame_idx=None):
             return _p(a, b)
@@ -285,7 +299,9 @@ def cmd_mtd(args) -> int:
             save_frame(
                 args.output, frame_idx,
                 {"rdm": np.asarray(rdms), "servo_angle": now["servo_angle"]},
-                profile, meta={"win_size": args.win_size},
+                profile,
+                meta={"win_size": args.win_size,
+                      "istc": stc_curve is not None},
             )
         done += 1
     log.info("mtd done (%d frames)\n%s", done, timers.report())
@@ -711,6 +727,9 @@ def build_parser() -> argparse.ArgumentParser:
     mtd.add_argument("--profile", default="G2", choices=PROFILES)
     mtd.add_argument("--frames", type=int, default=10)
     mtd.add_argument("--win-size", type=int, default=4)
+    mtd.add_argument("--istc", default=None, metavar="CURVE_TXT",
+                     help="apply iSTC gain compensation from a "
+                          "textread-style dB curve file (fun_iSTC.m:6-15)")
     mtd.add_argument("--format", default="npz", choices=("npz", "mat"),
                      help="'mat' writes MTD_win_all_beams cell arrays; "
                           "inputs auto-detect npz or mat")

@@ -227,7 +227,9 @@ def pipelined_window_map(
     return out
 
 
-def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
+def make_cpu_frame_processor(
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+):
     """CPU-threaded equivalent of ``make_frame_processor``.
 
     Returns ``process(frame_now, frame_next) -> np.ndarray`` of shape
@@ -248,6 +250,10 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
 
     @jax.jit
     def pc_fn(beams):                            # (b, 2*prt, pts)
+        if profile.mtd.istc and stc_curve_db is not None:
+            from radar_signal_process_tpu.ops.mtd import istc_compensate
+
+            beams = istc_compensate(beams, stc_curve_db)
         return segmented_pulse_compression(beams, profile, pulses)
 
     # beam index traced + static slice start: the CPI slice stays inside
@@ -294,7 +300,9 @@ def make_cpu_frame_processor(profile: RadarProfile, win_size: int = 4):
     return process
 
 
-def make_cpu_stream_processor(profile: RadarProfile, win_size: int = 4):
+def make_cpu_stream_processor(
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+):
     """Sequential-frame variant of ``make_cpu_frame_processor`` with
     per-frame pulse-compression reuse.
 
@@ -320,6 +328,13 @@ def make_cpu_stream_processor(profile: RadarProfile, win_size: int = 4):
 
     @jax.jit
     def pc_fn(beams):                            # (b, n_prt, pts)
+        if profile.mtd.istc and stc_curve_db is not None:
+            from radar_signal_process_tpu.ops.mtd import istc_compensate
+
+            # iSTC is per-row along fast time (fun_iSTC.m:12-15), so
+            # applying it per frame before compression matches the
+            # window-level application bit-for-bit
+            beams = istc_compensate(beams, stc_curve_db)
         return segmented_pulse_compression(beams, profile, pulses)
 
     def _doppler(sl):

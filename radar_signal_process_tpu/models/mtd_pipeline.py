@@ -130,20 +130,25 @@ def mtd_window_produce(
     return _form_rdm(pc, profile, use_pallas_rdm)
 
 
-def make_frame_processor(profile: RadarProfile, win_size: int = 4):
+def make_frame_processor(
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+):
     """Jitted processor for one frame pair.
 
     Returns ``process(frame_now, frame_next)`` mapping two
     ``(n_beams, n_prt, point_prt)`` complex frames to the RDM stack
     ``(n_beams, win_size, n_prt, point_prt)`` — the content of the
     reference's ``MTD_win_all_beams`` cell array
-    (``main_produce_dataset_win_xzr_v2.m:109-148``).
+    (``main_produce_dataset_win_xzr_v2.m:109-148``).  ``stc_curve_db``
+    activates iSTC compensation when ``profile.mtd.istc`` is set.
     """
 
     @jax.jit
     def process(frame_now: jnp.ndarray, frame_next: jnp.ndarray) -> jnp.ndarray:
         window = jnp.concatenate([frame_now, frame_next], axis=-2)
-        return mtd_window_produce(window, profile, win_size)
+        return mtd_window_produce(
+            window, profile, win_size, stc_curve_db=stc_curve_db
+        )
 
     return process
 

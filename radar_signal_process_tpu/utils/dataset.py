@@ -59,3 +59,46 @@ def sinc2d(n: int = 101, extent: float = 8.0) -> np.ndarray:
     x = np.linspace(-extent, extent, n)
     r = np.hypot(*np.meshgrid(x, x))
     return np.sinc(r / np.pi)
+
+
+def load_stc_curve(path: str, max_len: int | None = None) -> np.ndarray:
+    """Load an STC gain curve (dB) with the MATLAB ``textread('%f')`` contract.
+
+    ``fun_iSTC.m:5-6`` reads the curve as whitespace-separated floats (the
+    commented-out ``stcCurve.txt`` path documents the intended 1025-value
+    fixture; the ``DJIFlightRecord_*`` path it actually names ships as a
+    BINARY DJI flight log in the reference snapshot, on which MATLAB's
+    ``textread`` errors just as this does).  Returns a 1-D float64 array;
+    ``max_len`` truncates (the consumer zero-pads to the fast-time length,
+    ``ops.mtd.istc_compensate``).
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        text = raw.decode("ascii")
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"{path}: not a text STC curve (binary content at byte {e.start}"
+            "); the reference's shipped DJIFlightRecord_*.txt is a binary "
+            "flight log — supply the stcCurve.txt-style float file "
+            "fun_iSTC.m:5 documents"
+        ) from None
+    tokens = text.split()
+    if not tokens:
+        raise ValueError(f"{path}: empty STC curve")
+    try:
+        vals = np.array([float(t) for t in tokens], dtype=np.float64)
+    except ValueError:
+        bad = next(t for t in tokens if not _is_float(t))
+        raise ValueError(
+            f"{path}: non-numeric token {bad!r} in STC curve"
+        ) from None
+    return vals[:max_len] if max_len else vals
+
+
+def _is_float(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False

@@ -1,0 +1,113 @@
+"""Two-process ``jax.distributed`` worker (run by test_distributed.py).
+
+Each process contributes 2 virtual CPU devices to a 4-device global ``dp``
+mesh, runs the radar chain sharded over frames, and reduces to a replicated
+scalar — the first actual cross-process execution of the DCN path that
+``parallel/multihost.py`` wires (SURVEY.md §5.8).
+
+Usage: python distributed_worker.py <process_id> <coordinator> <out_json>
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+
+def tiny_profile():
+    from radar_signal_process_tpu.config import G2_PROFILE
+
+    return dataclasses.replace(
+        G2_PROFILE,
+        prt_per_frame=32,
+        point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        n_beams=2,
+    )
+
+
+def make_batch():
+    import numpy as np
+
+    prof = tiny_profile()
+    rng = np.random.default_rng(42)
+    shape = (4, prof.prt_per_frame, prof.point_prt)
+    return (
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+    )
+
+
+def chain_sums(x, prof):
+    """Frame batch -> [sum(rdm), sum(flags)] (f32), the parity payload."""
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.config import CFARConfig
+    from radar_signal_process_tpu.models.detect import detect_rdm
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+
+    rdm = mtd_produce(x, prof)
+    flags, _ = detect_rdm(rdm, prof, n_clutter=4, cfg=CFARConfig(threshold=5.0))
+    return jnp.stack(
+        [jnp.sum(rdm).astype(jnp.float32), jnp.sum(flags).astype(jnp.float32)]
+    )
+
+
+def main() -> int:
+    pid = int(sys.argv[1])
+    coordinator = sys.argv[2]
+    out_path = sys.argv[3]
+
+    import jax
+
+    from radar_signal_process_tpu.parallel.multihost import (
+        host_frame_assignment,
+        initialize_distributed,
+    )
+
+    got_pid, n_procs = initialize_distributed(coordinator, 2, pid)
+    assert (got_pid, n_procs) == (pid, 2), (got_pid, n_procs)
+    assert len(jax.devices()) == 4, jax.devices()  # 2 local x 2 processes
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radar_signal_process_tpu.parallel.mesh import make_mesh
+
+    prof = tiny_profile()
+    batch = make_batch()
+
+    # host-local frame ownership (the streaming-ingest assignment helper);
+    # dp sharding over the global mesh, replicated scalar out -> XLA
+    # inserts the cross-process reduction over the DCN transport
+    own = host_frame_assignment(4, pid, 2)
+    local = batch[own.start : min(own.stop, 4)][:2]  # 2 frames per process
+    mesh = make_mesh(("dp",), shape=(4,))
+    garr = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("dp")
+    )
+    fn = jax.jit(
+        lambda x: chain_sums(x, prof),
+        in_shardings=NamedSharding(mesh, P("dp")),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    sums = jax.block_until_ready(fn(garr))
+    result = {
+        "process_id": pid,
+        "num_processes": n_procs,
+        "n_devices": len(jax.devices()),
+        "rdm_sum": float(sums[0]),
+        "flag_sum": float(sums[1]),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

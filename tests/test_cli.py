@@ -205,3 +205,78 @@ def test_cli_ingest_g1_roundtrip(tmp_path, capsys, monkeypatch):
     ]) == 0
     arrays, _, _ = load_frame(det_dir, 0)
     assert arrays["flags"].shape == (2, 2, 32, 344)
+
+
+def test_stc_curve_loader(tmp_path):
+    """textread('%f') contract (fun_iSTC.m:5-6): whitespace-separated
+    floats load; the reference's shipped binary flight log fails loud."""
+    import os
+
+    import pytest
+
+    from radar_signal_process_tpu.utils.dataset import load_stc_curve
+
+    p = tmp_path / "stcCurve.txt"
+    p.write_text("0.0 -1.5\n-3.0\t-4.5\n  -6.0\n")
+    np.testing.assert_array_equal(
+        load_stc_curve(str(p)), [0.0, -1.5, -3.0, -4.5, -6.0]
+    )
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1.0 oops 2.0")
+    with pytest.raises(ValueError, match="non-numeric"):
+        load_stc_curve(str(bad))
+
+    dji = ("/root/reference/MatlabProcess_xuzerui/"
+           "DJIFlightRecord_2022-04-20_[10-31-47].txt")
+    if os.path.exists(dji):
+        # the snapshot's fixture is a binary DJI log, not a float curve —
+        # MATLAB's textread errors on it too; we document and fail loud
+        with pytest.raises(ValueError, match="binary"):
+            load_stc_curve(dji)
+
+
+def test_cli_mtd_istc_changes_rdm(tmp_path, capsys):
+    """`mtd --istc curve.txt` applies fun_iSTC.m:12-15 gain before
+    compression; output matches the batched processor with the same curve
+    and differs from the uncompensated run."""
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.mtd_pipeline import make_frame_processor
+
+    cap = str(tmp_path / "capture")
+    frames_dir = str(tmp_path / "frames")
+    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames", "3"])
+    cli.main(["ingest", "--input", cap, "--output", frames_dir,
+              "--profile", "TINY", "--frames", "3"])
+    curve = tmp_path / "stcCurve.txt"
+    curve_db = np.linspace(20.0, 0.0, 40)
+    curve.write_text("\n".join(f"{v:.6f}" for v in curve_db))
+
+    plain_dir = str(tmp_path / "rdm_plain")
+    istc_dir = str(tmp_path / "rdm_istc")
+    assert cli.main(["mtd", "--input", frames_dir, "--output", plain_dir,
+                     "--profile", "TINY", "--frames", "1", "--win-size", "2"]) == 0
+    assert cli.main(["mtd", "--input", frames_dir, "--output", istc_dir,
+                     "--profile", "TINY", "--frames", "1", "--win-size", "2",
+                     "--istc", str(curve)]) == 0
+    plain, _, meta0 = load_frame(plain_dir, 0)
+    comp, _, meta1 = load_frame(istc_dir, 0)
+    assert meta0["istc"] is False and meta1["istc"] is True
+    assert not np.array_equal(plain["rdm"], comp["rdm"])
+
+    # golden: batched jitted processor with the istc profile; compare with
+    # the curve as LOADED (the %.6f text round-trip perturbs the values)
+    from radar_signal_process_tpu.utils.dataset import load_stc_curve
+
+    curve_db = load_stc_curve(str(curve))
+    prof = dataclasses.replace(
+        TINY, mtd=dataclasses.replace(TINY.mtd, istc=True)
+    )
+    a, _, _ = load_frame(frames_dir, 0)
+    b, _, _ = load_frame(frames_dir, 1)
+    proc = make_frame_processor(prof, win_size=2, stc_curve_db=curve_db)
+    want = np.asarray(proc(
+        jnp.asarray(np.moveaxis(a["iq"], -1, 0), jnp.complex64),
+        jnp.asarray(np.moveaxis(b["iq"], -1, 0), jnp.complex64),
+    ))
+    np.testing.assert_array_equal(comp["rdm"], want)
