@@ -525,14 +525,49 @@ def cmd_analyze(args) -> int:
     rdm = np.asarray(rdm)
     if rdm.ndim == 4:
         rdm = rdm[args.beam, args.win_slice]
-    out = plot_mtd_dashboard(
+    outputs = [plot_mtd_dashboard(
         rdm, profile,
         save_path=os.path.join(
             args.output, f"frame_{args.frame}_b{args.beam}_s{args.win_slice}.png"
         ),
-    )
-    log.info("wrote %s (profile %s, meta %s)", out, profile.name, meta)
-    print(out)
+    )]
+    if args.animate in ("doppler", "all"):
+        # reference V1 mode 2: per-range-bin Doppler spectrum animation
+        # (MTD/fun_plot_visualizations.m:51-63)
+        from radar_signal_process_tpu.viz import plot_doppler_animation
+
+        outputs.append(plot_doppler_animation(
+            rdm, profile.velocity_axis(rdm.shape[-2]),
+            save_path=os.path.join(args.output, "doppler_anim.gif"),
+            step=args.animate_step, max_frames=args.animate_frames,
+        ))
+    if args.animate in ("pc", "all"):
+        # reference V1 mode 1: per-PRT compressed-pulse animation
+        # (MTD/fun_plot_visualizations.m:33-49), recomputed from the
+        # stage-1 artifact the RDM was produced from
+        if not args.stage1_input:
+            raise SystemExit("--animate pc needs --stage1-input DIR")
+        import jax.numpy as jnp
+
+        from radar_signal_process_tpu.ops.pulse_compression import (
+            segmented_pulse_compression,
+        )
+        from radar_signal_process_tpu.ops.waveforms import reference_pulses
+        from radar_signal_process_tpu.viz import plot_pc_animation
+
+        arrays, prof1, _ = _load_stage1(args.stage1_input, args.frame, profile)
+        echo = np.moveaxis(arrays["iq"], -1, 0)[args.beam]
+        pc = np.asarray(segmented_pulse_compression(
+            jnp.asarray(echo, jnp.complex64), profile,
+            reference_pulses(profile),
+        ))
+        outputs.append(plot_pc_animation(
+            pc, save_path=os.path.join(args.output, "pc_anim.gif"),
+            step=args.animate_step, max_frames=args.animate_frames,
+        ))
+    log.info("wrote %s (profile %s, meta %s)", outputs, profile.name, meta)
+    for o in outputs:
+        print(o)
     return 0
 
 
@@ -602,6 +637,7 @@ def cmd_dmx(args) -> int:
             }
         frames_out.append(entry)
     out = {"frames": frames_out}
+    gps_overlay = None
 
     if args.gps:
         from radar_signal_process_tpu.evalx.gps import (
@@ -623,6 +659,35 @@ def cmd_dmx(args) -> int:
             r for f in frames_out for r in f["long"]["range_m"]
         ])
         out["gps_range_residuals"] = compare_estimates(fr, rr, gi, track.range_m)
+        gps_overlay = (gi, track.range_m, track.velocity_ms)
+
+    if args.plots:
+        # estimate-series scatter with GPS overlay, the reference's live
+        # result plots (DMX_SignalProcessing_main_xzr.m:534-559,592-599)
+        import os
+
+        from radar_signal_process_tpu.viz import plot_estimate_series
+
+        os.makedirs(args.plots, exist_ok=True)
+        out["plots"] = {}
+        for name in ("short", "long"):
+            fr = np.asarray([
+                f["frame"] for f in frames_out for _ in f[name]["range_m"]
+            ], dtype=np.float64)
+            path = plot_estimate_series(
+                fr,
+                np.asarray([r for f in frames_out for r in f[name]["range_m"]]),
+                np.asarray([v for f in frames_out
+                            for v in f[name]["velocity_ms"]]),
+                np.asarray([e for f in frames_out
+                            for e in f[name]["elevation_deg"]]),
+                gps_frames=gps_overlay[0] if gps_overlay else None,
+                gps_range_m=gps_overlay[1] if gps_overlay else None,
+                gps_velocity_ms=gps_overlay[2] if gps_overlay else None,
+                save_path=os.path.join(args.plots, f"estimates_{name}.png"),
+                title=f"G0 estimate series ({name} pulse)",
+            )
+            out["plots"][name] = path
 
     if args.save_results:
         # result-struct persistence with full config echo, the reference's
@@ -781,6 +846,9 @@ def build_parser() -> argparse.ArgumentParser:
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)
     dmx.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    dmx.add_argument("--plots", default=None, metavar="DIR",
+                     help="write estimate-series plots (R/V/elevation vs "
+                          "frame, GPS overlay when --gps is given)")
     dmx.add_argument("--save-results", default=None, metavar="DIR",
                      help="write resultData_<clock>.mat with the full config "
                           "echo (DMX_SignalProcessing_main_xzr.m:603-612)")
@@ -793,6 +861,16 @@ def build_parser() -> argparse.ArgumentParser:
     ana.add_argument("--frame", type=int, default=0)
     ana.add_argument("--beam", type=int, default=0)
     ana.add_argument("--win-slice", type=int, default=0)
+    ana.add_argument("--animate", default=None,
+                     choices=("pc", "doppler", "all"),
+                     help="also write the reference's V1 animation modes "
+                          "(fun_plot_visualizations.m:33-63) as .gif")
+    ana.add_argument("--animate-step", type=int, default=8,
+                     help="PRT/range-bin stride between animation frames")
+    ana.add_argument("--animate-frames", type=int, default=24,
+                     help="max animation frames")
+    ana.add_argument("--stage1-input", default=None, metavar="DIR",
+                     help="stage-1 frame dir for --animate pc")
     ana.set_defaults(fn=cmd_analyze)
 
     sw = sub.add_parser("sweep", help="threshold x SCR detection-metric sweep")

@@ -6,5 +6,8 @@ from radar_signal_process_tpu.viz.plots import (  # noqa: F401
     plot_mtd_dashboard,
     plot_pc_magnitude,
     plot_doppler_spectrum,
+    plot_estimate_series,
+    plot_pc_animation,
+    plot_doppler_animation,
     rdm_to_db,
 )

@@ -147,3 +147,122 @@ def _finish(fig, save_path, plt):
         plt.close(fig)
         return save_path
     return fig
+
+
+def plot_estimate_series(
+    frame_idx: np.ndarray,
+    range_m: np.ndarray,
+    velocity_ms: np.ndarray,
+    elevation_deg: np.ndarray,
+    gps_frames: np.ndarray | None = None,
+    gps_range_m: np.ndarray | None = None,
+    gps_velocity_ms: np.ndarray | None = None,
+    save_path=None,
+    title: str = "G0 estimate series",
+):
+    """Per-frame R/V/elevation estimate scatter with optional GPS overlay.
+
+    Replicates the G0 driver's live scatter of the detection series
+    (``DMX_SignalProcessing_main_xzr.m:534-559``) and its differential-GPS
+    range/velocity overlay (``:592-599``) as one 3-row figure.  All radar
+    inputs are flattened per-detection series aligned on ``frame_idx``.
+    """
+    plt = _plt(save_path)
+    fig, (ax_r, ax_v, ax_e) = plt.subplots(3, 1, figsize=(10, 9), sharex=True)
+    fig.suptitle(title)
+    ax_r.scatter(frame_idx, range_m, s=8, label="radar")
+    if gps_frames is not None and gps_range_m is not None:
+        ax_r.plot(gps_frames, gps_range_m, "r-", lw=1.2, label="GPS")
+        ax_r.legend(loc="best")
+    ax_r.set_ylabel("range [m]")
+    ax_v.scatter(frame_idx, velocity_ms, s=8, label="radar")
+    if gps_frames is not None and gps_velocity_ms is not None:
+        ax_v.plot(gps_frames, gps_velocity_ms, "r-", lw=1.2, label="GPS")
+        ax_v.legend(loc="best")
+    ax_v.set_ylabel("velocity [m/s]")
+    ax_e.scatter(frame_idx, elevation_deg, s=8)
+    ax_e.set_ylabel("elevation [deg]")
+    ax_e.set_xlabel("frame")
+    return _finish(fig, save_path, plt)
+
+
+def _animate(update, n_frames: int, fig, plt, save_path, fps: int):
+    """Write an animation: .gif via Pillow, else a PNG file sequence.
+
+    ``save_path`` ending in ``.gif`` produces one animated file; any other
+    path is treated as a directory receiving ``frame_%04d.png`` (the
+    frame-stepped equivalent of the reference's live ``drawnow`` loops).
+    Returns the written path (gif) or directory.
+    """
+    import os
+
+    if save_path and str(save_path).endswith(".gif"):
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        anim = FuncAnimation(fig, update, frames=n_frames, blit=False)
+        anim.save(save_path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return save_path
+    os.makedirs(save_path, exist_ok=True)
+    for i in range(n_frames):
+        update(i)
+        fig.savefig(os.path.join(save_path, f"frame_{i:04d}.png"), dpi=90)
+    plt.close(fig)
+    return save_path
+
+
+def plot_pc_animation(
+    pc: np.ndarray,
+    save_path,
+    step: int = 1,
+    max_frames: int = 50,
+    fps: int = 10,
+):
+    """Per-PRT pulse-compression magnitude animation (reference V1 mode 1,
+    ``MTD/fun_plot_visualizations.m:33-49``: one dB trace per PRT, animated
+    over slow time).  ``pc``: (n_prt, n_range) complex or magnitude."""
+    plt = _plt(save_path or ".")
+    pc = np.asarray(pc)
+    mag = 20.0 * np.log10(np.abs(pc) + 1e-12)
+    rows = range(0, pc.shape[0], step)[:max_frames]
+    fig, ax = plt.subplots(figsize=(9, 3.5))
+    (line,) = ax.plot(mag[rows[0]], lw=0.7)
+    ax.set_xlabel("range cell")
+    ax.set_ylabel("amplitude [dB]")
+    ax.set_ylim(mag.min() - 1, mag.max() + 1)
+
+    def update(i):
+        line.set_ydata(mag[rows[i]])
+        ax.set_title(f"pulse compression, PRT {rows[i]}")
+        return (line,)
+
+    return _animate(update, len(rows), fig, plt, save_path, fps)
+
+
+def plot_doppler_animation(
+    rdm: np.ndarray,
+    v_axis: np.ndarray,
+    save_path,
+    step: int = 1,
+    max_frames: int = 50,
+    fps: int = 10,
+):
+    """Per-range-bin Doppler spectrum animation (reference V1 mode 2,
+    ``MTD/fun_plot_visualizations.m:51-63``).  ``rdm``: (n_v, n_r)
+    magnitude; animates the spectrum column by range bin."""
+    plt = _plt(save_path or ".")
+    rdm = np.asarray(rdm)
+    db = 20.0 * np.log10(np.abs(rdm) + 1e-12)
+    cols = range(0, rdm.shape[1], step)[:max_frames]
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    (line,) = ax.plot(np.asarray(v_axis), db[:, cols[0]], lw=0.8)
+    ax.set_xlabel("velocity [m/s]")
+    ax.set_ylabel("amplitude [dB]")
+    ax.set_ylim(db.min() - 1, db.max() + 1)
+
+    def update(i):
+        line.set_ydata(db[:, cols[i]])
+        ax.set_title(f"Doppler spectrum, range cell {cols[i]}")
+        return (line,)
+
+    return _animate(update, len(cols), fig, plt, save_path, fps)

@@ -280,3 +280,29 @@ def test_cli_mtd_istc_changes_rdm(tmp_path, capsys):
         jnp.asarray(np.moveaxis(b["iq"], -1, 0), jnp.complex64),
     ))
     np.testing.assert_array_equal(comp["rdm"], want)
+
+
+def test_cli_analyze_animations(tmp_path, capsys):
+    """`analyze --animate all` writes the V1 animation artifacts
+    (fun_plot_visualizations.m:33-63) alongside the dashboard."""
+    import os
+
+    cap = str(tmp_path / "capture")
+    frames_dir = str(tmp_path / "frames")
+    rdm_dir = str(tmp_path / "rdm")
+    out_dir = str(tmp_path / "viz")
+    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames", "3"])
+    cli.main(["ingest", "--input", cap, "--output", frames_dir,
+              "--profile", "TINY", "--frames", "3"])
+    cli.main(["mtd", "--input", frames_dir, "--output", rdm_dir,
+              "--profile", "TINY", "--frames", "1", "--win-size", "2"])
+    capsys.readouterr()
+    assert cli.main([
+        "analyze", "--input", rdm_dir, "--output", out_dir, "--profile", "TINY",
+        "--frame", "0", "--animate", "all", "--stage1-input", frames_dir,
+        "--animate-step", "16", "--animate-frames", "3",
+    ]) == 0
+    outs = capsys.readouterr().out.strip().splitlines()
+    assert len(outs) == 3  # dashboard + doppler gif + pc gif
+    assert outs[1].endswith("doppler_anim.gif") and os.path.getsize(outs[1]) > 500
+    assert outs[2].endswith("pc_anim.gif") and os.path.getsize(outs[2]) > 500

@@ -42,11 +42,17 @@ def test_dmx_cli_end_to_end(tmp_path, rng, capsys):
     cell_long = 100
     _g0_capture(tmp_path, rng, fd, cell_long)
 
+    plots_dir = tmp_path / "plots"
     assert cli.main([
         "dmx", "--input", str(tmp_path), "--frames", "1",
-        "--freq-index", "5", "--beam-pos", "2",
+        "--freq-index", "5", "--beam-pos", "2", "--plots", str(plots_dir),
     ]) == 0
     out = json.loads(capsys.readouterr().out)
+    # estimate-series plots written (DMX main :534-559)
+    import os
+
+    assert os.path.getsize(out["plots"]["long"]) > 1000
+    assert os.path.getsize(out["plots"]["short"]) > 1000
     frame = out["frames"][0]
     # azimuth: 100 deg + north compensation (29.01 + 5.9)
     assert abs(frame["azimuth_deg"] - (100.0 + 29.01 + 5.9)) < 0.2

@@ -99,3 +99,52 @@ def test_gps_roundtrip(tmp_path):
     out = compare_estimates(idx2, est, idx2, track2.range_m)
     assert out["n"] == 9
     assert out["rmse"] < 1e-9
+
+
+def test_plot_estimate_series_with_gps_overlay(tmp_path):
+    """R/V/elevation series scatter + GPS overlay PNG
+    (DMX_SignalProcessing_main_xzr.m:534-559,592-599)."""
+    from radar_signal_process_tpu.viz import plot_estimate_series
+
+    pytest.importorskip("matplotlib")
+    rng = np.random.default_rng(0)
+    n = 40
+    fr = np.repeat(np.arange(10), 4).astype(float)
+    out = plot_estimate_series(
+        fr,
+        500 + 10 * fr + rng.standard_normal(n),
+        -6 + 0.1 * rng.standard_normal(n),
+        12 + rng.standard_normal(n),
+        gps_frames=np.arange(10, dtype=float),
+        gps_range_m=500 + 10 * np.arange(10),
+        gps_velocity_ms=np.full(10, -6.0),
+        save_path=str(tmp_path / "series.png"),
+    )
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_v1_animations(tmp_path):
+    """Reference V1 animation modes (fun_plot_visualizations.m:33-63):
+    animated .gif and frame-stepped PNG-sequence variants."""
+    from radar_signal_process_tpu.viz import (
+        plot_doppler_animation,
+        plot_pc_animation,
+    )
+
+    pytest.importorskip("matplotlib")
+    import os
+
+    rng = np.random.default_rng(1)
+    pc = rng.standard_normal((16, 64)) + 1j * rng.standard_normal((16, 64))
+    gif = plot_pc_animation(pc, str(tmp_path / "pc.gif"), step=4, max_frames=3)
+    assert os.path.getsize(gif) > 1000
+
+    rdm = np.abs(rng.standard_normal((32, 24))) + 0.1
+    v_axis = np.linspace(-10, 10, 32)
+    seq_dir = plot_doppler_animation(
+        rdm, v_axis, str(tmp_path / "dop_seq"), step=8, max_frames=3
+    )
+    frames = sorted(os.listdir(seq_dir))
+    assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
