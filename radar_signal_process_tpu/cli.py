@@ -161,6 +161,20 @@ def _ingest_g1(args, profile) -> int:
                 {"iq": iq, "servo_angle": angles},
                 profile, meta={"dbf": False, **{k: int(v) for k, v in meta.items()}},
             )
+        if getattr(args, "debug_plots", None):
+            # Show_Read-style live I/Q view (Show_Read.m:127-136), one
+            # static panel per ingested frame
+            import os
+
+            from radar_signal_process_tpu.viz import plot_iq_debug
+
+            os.makedirs(args.debug_plots, exist_ok=True)
+            plot_iq_debug(
+                left, right, prt_index=0, frame_index=out_idx,
+                save_path=os.path.join(
+                    args.debug_plots, f"iq_frame_{out_idx}.png"
+                ),
+            )
         counters.add("frames")
         counters.add("prts", profile.prt_per_frame)
     log.info("ingest done: %s", counters)
@@ -780,6 +794,9 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--frames-per-file", type=int, default=10,
                      help="G1/G0 captures: frames per .bin file "
                           "(frameDataRead_A_xzr.m:34-41)")
+    ing.add_argument("--debug-plots", default=None, metavar="DIR",
+                     help="G1/G0: write Show_Read-style I/Q debug panels "
+                          "per frame (Show_Read.m:127-136)")
     ing.add_argument("--format", default="npz", choices=("npz", "mat"),
                      help="artifact format; 'mat' writes the reference's "
                           "frame_N.mat bus (sig_data_DBF_allprts)")

@@ -9,5 +9,6 @@ from radar_signal_process_tpu.viz.plots import (  # noqa: F401
     plot_estimate_series,
     plot_pc_animation,
     plot_doppler_animation,
+    plot_iq_debug,
     rdm_to_db,
 )

@@ -266,3 +266,31 @@ def plot_doppler_animation(
         return (line,)
 
     return _animate(update, len(cols), fig, plt, save_path, fps)
+
+
+def plot_iq_debug(
+    left: np.ndarray,
+    right: np.ndarray,
+    prt_index: int = 0,
+    frame_index: int = 0,
+    save_path=None,
+):
+    """Live-ingest I/Q debug view (``Show_Read.m:127-136``): 2x2 panel of
+    left-beam I, left-beam Q, right-beam I, right-beam Q for one PRT.
+
+    ``left``/``right``: (n_prt, n_samples) complex frames as parsed.
+    """
+    plt = _plt(save_path)
+    li, lq = np.real(left[prt_index]), np.imag(left[prt_index])
+    ri, rq = np.real(right[prt_index]), np.imag(right[prt_index])
+    fig, axes = plt.subplots(2, 2, figsize=(11, 6))
+    for ax, (data, title) in zip(
+        axes.ravel(),
+        [(li, "left beam I"), (lq, "left beam Q"),
+         (ri, "right beam I"), (rq, "right beam Q")],
+    ):
+        ax.plot(data, lw=0.6)
+        ax.set_title(title)
+    fig.suptitle(f"frame {frame_index}, PRT {prt_index} echo")
+    fig.tight_layout()
+    return _finish(fig, save_path, plt)

@@ -306,3 +306,30 @@ def test_cli_analyze_animations(tmp_path, capsys):
     assert len(outs) == 3  # dashboard + doppler gif + pc gif
     assert outs[1].endswith("doppler_anim.gif") and os.path.getsize(outs[1]) > 500
     assert outs[2].endswith("pc_anim.gif") and os.path.getsize(outs[2]) > 500
+
+
+def test_cli_ingest_g1_debug_plots(tmp_path, monkeypatch):
+    """--debug-plots writes the Show_Read-style I/Q panel per frame
+    (Show_Read.m:127-136)."""
+    import os
+
+    from radar_signal_process_tpu.config import G1_PROFILE
+    from radar_signal_process_tpu.sim.packets_synth import write_g1_capture
+
+    tg1 = dataclasses.replace(
+        G1_PROFILE, prt_per_frame=8, point_prt=64,
+        segment_points=(16, 16, 32), cfar_segments=((0, 64),),
+    )
+    monkeypatch.setitem(PROFILES, "TG1D", tg1)
+    rng = np.random.default_rng(3)
+    shape = (2, 8, 64)
+    left = rng.integers(-100, 100, shape) + 1j * rng.integers(-100, 100, shape)
+    cap = tmp_path / "cap"
+    write_g1_capture(str(cap), left, left * 2, frames_per_file=5)
+    dbg = tmp_path / "dbg"
+    assert cli.main([
+        "ingest", "--input", str(cap), "--output", str(tmp_path / "fr"),
+        "--profile", "TG1D", "--frames", "2", "--frames-per-file", "5",
+        "--debug-plots", str(dbg),
+    ]) == 0
+    assert sorted(os.listdir(dbg)) == ["iq_frame_0.png", "iq_frame_1.png"]
