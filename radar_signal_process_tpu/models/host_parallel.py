@@ -113,6 +113,7 @@ def pipelined_window_map(
     starts,
     item_fn: Callable,
     n_threads: int,
+    n_chunks: int | None = None,
 ) -> list:
     """Cross-frame pipelined driver with per-frame pulse-compression reuse.
 
@@ -141,7 +142,7 @@ def pipelined_window_map(
     if n_windows <= 0:
         return [None] * n_threads
     n_beams = frames[0].shape[0]
-    k = -(-n_beams // n_threads)
+    k = -(-n_beams // (n_chunks or n_threads))
     bounds = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
     n_chunks = len(bounds)
     n_slices = len(starts)
