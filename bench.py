@@ -468,7 +468,16 @@ def oracle_beam_slice_seconds(prof, echo_slice: np.ndarray, runs: int = 3) -> fl
 
 
 def _bench_g0(repeat: int) -> float:
-    """G0 end-to-end chain (PC + 2048-pt MTD + CFAR + measurement) frames/s."""
+    """G0 end-to-end chain (PC + 2048-pt MTD + CFAR + measurement) frames/s.
+
+    Frames are independent, so on CPU the steady-state throughput form
+    fans consecutive frames out over host threads sharing the compiled
+    stage executables (measured ~1.3x on the 2-core host; XLA CPU only
+    threads the FFTs internally, leaving gaps the second frame fills).
+    """
+    import itertools
+    import threading
+
     import jax
     import numpy as np
 
@@ -489,12 +498,24 @@ def _bench_g0(repeat: int) -> float:
     t0 = time.perf_counter()
     jax.block_until_ready(chain.process_frame(left, right))
     first = time.perf_counter() - t0
-    n = max(1, min(repeat, int(10.0 / max(first, 1e-9))))
+    n = max(2, min(4 * repeat, int(10.0 / max(first, 1e-9))))
+    n_threads = 2 if (os.cpu_count() or 1) > 1 else 1
+    counter = itertools.count()
+    outs = [None] * n_threads
+
+    def work(t: int) -> None:
+        o = None
+        while next(counter) < n:  # GIL-atomic work queue
+            o = chain.process_frame(left, right)
+        outs[t] = o
+
     t0 = time.perf_counter()
-    out = None
-    for _ in range(n):
-        out = chain.process_frame(left, right)
-    jax.block_until_ready(out)
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    jax.block_until_ready([o for o in outs if o is not None])
     return n / (time.perf_counter() - t0)
 
 
