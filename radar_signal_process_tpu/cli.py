@@ -444,6 +444,25 @@ def cmd_e2e(args) -> int:
     detector = None
     timers = StageTimers()
 
+    def _det_rows(dets, beams, wins):
+        """Batched DetectionList -> sorted [beam, win, v, r, amp] rows."""
+        valid = np.asarray(dets.valid)
+        v_idx = np.asarray(dets.v_idx)
+        r_idx = np.asarray(dets.r_idx)
+        amp = np.asarray(dets.amplitude)
+        rows = []
+        for b in beams:
+            for w in wins:
+                sel = valid[b, w] if valid.ndim == 3 else valid[b]
+                vv = v_idx[b, w] if valid.ndim == 3 else v_idx[b]
+                rr = r_idx[b, w] if valid.ndim == 3 else r_idx[b]
+                aa = amp[b, w] if valid.ndim == 3 else amp[b]
+                rows.extend(
+                    [int(b), int(w), int(v), int(r), float(a)]
+                    for v, r, a in zip(vv[sel], rr[sel], aa[sel])
+                )
+        return rows
+
     prev = None
     results = []
     for frame_idx in range(args.frames + 1):
@@ -464,8 +483,11 @@ def cmd_e2e(args) -> int:
                 x = jax.device_put(jnp.asarray(echo, jnp.complex64),
                                    shard_batch(mesh, "dp"))
                 rdm, flags, _ = sharded_run(x)
-                dets = extract(flags[args.beam], rdm[args.beam])
+                # all real beams of the sharded slice (padding dropped)
+                dets = extract(flags[: profile.n_beams],
+                               rdm[: profile.n_beams])
                 h["fence"] = dets.valid
+            rows = _det_rows(dets, range(profile.n_beams), [args.win_slice])
         elif prev is not None:
             with timers.stage("mtd+cfar") as h:
                 rdms = process(
@@ -476,23 +498,15 @@ def cmd_e2e(args) -> int:
                     detector = make_detector(
                         profile, n_clutter=nc, max_detections=args.max_detections
                     )
-                flags, _, dets = detector(rdms[args.beam, args.win_slice])
+                # every (beam, slice), as the reference's stage 3 does
+                # (main_cfar.m:85-96)
+                flags, _, dets = detector(rdms)
                 h["fence"] = flags
-        if prev is not None:
-            valid = np.asarray(dets.valid)
-            results.append(
-                {
-                    "frame": frame_idx - 1,
-                    "detections": [
-                        [int(v), int(r), float(a)]
-                        for v, r, a in zip(
-                            np.asarray(dets.v_idx)[valid],
-                            np.asarray(dets.r_idx)[valid],
-                            np.asarray(dets.amplitude)[valid],
-                        )
-                    ],
-                }
+            rows = _det_rows(
+                dets, range(rdms.shape[0]), range(rdms.shape[1])
             )
+        if prev is not None:
+            results.append({"frame": frame_idx - 1, "detections": rows})
         prev = cur
     print(json.dumps({"frames": results}, indent=None))
     log.info("e2e timing\n%s", timers.report())

@@ -83,6 +83,13 @@ def test_cli_e2e_json(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert len(out["frames"]) == 2
     assert all(len(f["detections"]) > 0 for f in out["frames"])
+    # detection rows are [beam, win, v, r, amp] over EVERY (beam, slice)
+    # (main_cfar.m:85-96); the injected target appears in both beams and
+    # in a slice != 0
+    rows = out["frames"][0]["detections"]
+    assert all(len(r) == 5 for r in rows)
+    assert {r[0] for r in rows} == {0, 1}
+    assert any(r[1] == 1 for r in rows)
 
 
 def test_cli_ingest_idempotent(tmp_path, capsys):
@@ -125,7 +132,12 @@ def test_cli_e2e_mesh_matches_single_device(tmp_path, capsys, monkeypatch):
     plain = run([])
     # dp=2 pads the 2-beam batch evenly; sp=2 shards the 344-pt range axis
     meshed = run(["--mesh", "2x2"])
-    assert meshed == plain
+    # the mesh path processes one window slice; compare against the plain
+    # output filtered to that slice
+    for fp, fm in zip(plain["frames"], meshed["frames"]):
+        assert fm["frame"] == fp["frame"]
+        want = [r for r in fp["detections"] if r[1] == 1]
+        assert sorted(fm["detections"]) == sorted(want)
     assert any(f["detections"] for f in plain["frames"])
 
 
