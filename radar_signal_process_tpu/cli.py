@@ -687,6 +687,13 @@ def cmd_dmx(args) -> int:
             r for f in frames_out for r in f["long"]["range_m"]
         ])
         out["gps_range_residuals"] = compare_estimates(fr, rr, gi, track.range_m)
+        vv = np.asarray([
+            v for f in frames_out for v in f["long"]["velocity_ms"]
+        ])
+        # the reference overlays velocity too (:592-599)
+        out["gps_velocity_residuals"] = compare_estimates(
+            fr, vv, gi, track.velocity_ms
+        )
         gps_overlay = (gi, track.range_m, track.velocity_ms)
 
     if args.plots:

@@ -170,3 +170,42 @@ def test_dmx_cli_save_results(tmp_path, rng, capsys):
     assert sorted(np.round(vels, 6)) == sorted(
         np.round(out["frames"][0]["long"]["velocity_ms"], 6).tolist()
     )
+
+
+def test_dmx_cli_gps_overlay(tmp_path, rng, capsys):
+    """--gps reports range AND velocity residuals vs the interpolated
+    differential-GPS track (DMX_SignalProcessing_main_xzr.m:567-601)."""
+    prof = G0_PROFILE
+    chain_cfg = G0ChainConfig()
+    delta_dop = prof.prf / chain_cfg.mtd_fft_length
+    fd = -60 * delta_dop
+    cell_long = 100
+    _g0_capture(tmp_path, rng, fd, cell_long)
+
+    chain = G0Chain(prof, chain_cfg, 5, 2)
+    v_expected = -chain.wavelength * fd / 2.0
+    r_expected = (
+        cell_long * prof.delta_r
+        + chain_cfg.r_sys_err_long
+        - chain_cfg.r_measure_err_long
+    )
+    # 5-column track (time, range, velocity, azimuth, height) covering
+    # radar frames 0..2 with the truth at every sample
+    t_frame = prof.prt * prof.prt_per_frame
+    gps = tmp_path / "gps.txt"
+    gps.write_text("".join(
+        f"{i * t_frame:.6f} {r_expected:.3f} {v_expected:.4f} 100.0 50.0\n"
+        for i in range(3)
+    ))
+
+    assert cli.main([
+        "dmx", "--input", str(tmp_path), "--frames", "1",
+        "--freq-index", "5", "--beam-pos", "2",
+        "--gps", str(gps), "--gps-start-line", "1",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    rr = out["gps_range_residuals"]
+    vr = out["gps_velocity_residuals"]
+    assert rr["n"] >= 1 and vr["n"] >= 1
+    assert rr["rmse"] < 2 * prof.delta_r, rr
+    assert vr["rmse"] < 0.3, vr

@@ -99,3 +99,48 @@ def test_cpu_stream_processor_matches_frame_processor(rng):
         # non-sequential call (cache miss) still correct
         got = stream(frames[0], frames[1], frame_idx=7)
         np.testing.assert_array_equal(got, ref(frames[0], frames[1]))
+
+
+def test_pipelined_window_map_fuzz(rng):
+    """Dependency-aware cross-frame queue: random (frames, threads, chunks)
+    geometries all produce exactly the per-window reference results and
+    free every compressed chunk."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        pipelined_window_map,
+    )
+
+    starts = (0, 3, 6)
+    for _ in range(6):
+        n_frames = int(rng.integers(1, 6))
+        n_beams = int(rng.integers(1, 5))
+        n_threads = int(rng.integers(1, 5))
+        n_chunks = int(rng.integers(1, n_beams + 1))
+        frames = [rng.standard_normal((n_beams, 9, 4)) for _ in range(n_frames)]
+
+        def pc_fn(chunk):
+            return chunk * 2.0
+
+        got = {}
+
+        def item(acc, pc_a, pc_b, c, b, w, s, start):
+            row = np.concatenate(
+                [pc_a[b, start:], pc_b[b, :start]], axis=0
+            )
+            got[(w, c, b, s)] = row.copy()
+            return (acc or 0) + 1
+
+        out = pipelined_window_map(frames, pc_fn, starts, item, n_threads,
+                                   n_chunks=n_chunks)
+        n_windows = n_frames - 1
+        total = sum(o for o in out if o is not None)
+        assert total == max(0, n_windows) * n_beams * len(starts)
+        # verify every item saw the right rows of the right frames
+        k = -(-n_beams // n_chunks)
+        for (w, c, b, s), row in got.items():
+            start = starts[s]
+            lo = c * k
+            want = np.concatenate(
+                [2.0 * frames[w][lo + b, start:],
+                 2.0 * frames[w + 1][lo + b, :start]], axis=0,
+            )
+            np.testing.assert_array_equal(row, want)
