@@ -307,7 +307,10 @@ def cmd_mtd(args) -> int:
             from radar_signal_process_tpu.utils import matbus
 
             matbus.save_mtd_mat(
-                matbus.mat_frame_path(args.output, frame_idx), np.asarray(rdms)
+                matbus.mat_frame_path(args.output, frame_idx), np.asarray(rdms),
+                # the G1 two-beam stage saves MTD_0/MTD_1 variables
+                two_beam_vars=(profile.bytes_head != 64
+                               and np.asarray(rdms).shape[0] == 2),
             )
         else:
             save_frame(
@@ -510,6 +513,59 @@ def cmd_e2e(args) -> int:
         prev = cur
     print(json.dumps({"frames": results}, indent=None))
     log.info("e2e timing\n%s", timers.report())
+    return 0
+
+
+def cmd_stream(args) -> int:
+    """Streaming chain: overlapped host ingest + compute, all-beam detection.
+
+    Drives ``models.streaming.StreamingPipeline`` (the production fused
+    path: background C++ parse + prefetch, per-frame PC reuse, detection
+    over every (beam, slice), per-frame hit counters and latency stats).
+    """
+    import time as _time
+
+    from radar_signal_process_tpu.ingest import G2FrameReader, native_available
+    from radar_signal_process_tpu.models.streaming import StreamingPipeline
+
+    profile = PROFILES[args.profile]
+    reader_cls = G2FrameReader
+    if args.native and native_available():
+        from radar_signal_process_tpu.ingest.native_loader import (
+            NativeG2FrameReader,
+        )
+
+        reader_cls = NativeG2FrameReader
+    coeffs = None
+    if args.dbf_coeffs:
+        from radar_signal_process_tpu.ops.dbf import load_dbf_coeffs
+
+        coeffs = load_dbf_coeffs(args.dbf_coeffs, profile.n_channels)
+    pipe = StreamingPipeline(
+        reader_cls(args.input, profile),
+        profile,
+        win_size=args.win_size,
+        max_frames=args.frames,
+        clutter_v=args.clutter_v,
+        max_detections=args.max_detections,
+        dbf_coeffs=coeffs,
+    )
+    frames_out = []
+    t_prev = _time.perf_counter()
+    for res in pipe:
+        now = _time.perf_counter()
+        valid = np.asarray(res.detections.valid)
+        frames_out.append({
+            "frame": res.frame_idx,
+            "window_latency_ms": round((now - t_prev) * 1e3, 1),
+            "cfar_hits": int(np.asarray(res.flags).sum()),
+            "detections_per_beam": valid.any(axis=-1).sum(axis=-1).tolist(),
+        })
+        t_prev = now
+    print(json.dumps({
+        "frames": frames_out,
+        "counters": pipe.counters.snapshot(),
+    }))
     return 0
 
 
@@ -868,6 +924,18 @@ def build_parser() -> argparse.ArgumentParser:
                           "1x4: beams data-parallel, range sharded with "
                           "halo-exchange CFAR")
     e2e.set_defaults(fn=cmd_e2e)
+
+    st = sub.add_parser("stream", help="streaming chain: overlapped ingest + "
+                                       "compute with all-beam detection")
+    st.add_argument("--input", required=True)
+    st.add_argument("--profile", default="G2", choices=PROFILES)
+    st.add_argument("--frames", type=int, default=10)
+    st.add_argument("--win-size", type=int, default=4)
+    st.add_argument("--clutter-v", type=float, default=3.0)
+    st.add_argument("--max-detections", type=int, default=16)
+    st.add_argument("--dbf-coeffs", default=None)
+    st.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
+    st.set_defaults(fn=cmd_stream)
 
     dmx = sub.add_parser("dmx", help="G0 end-to-end chain over a G1-format capture")
     dmx.add_argument("--input", required=True)

@@ -135,20 +135,32 @@ def load_frame_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 # ---------------------------------------------------------------- stage 2
 
-def save_mtd_mat(path: str, rdms: np.ndarray) -> str:
+def save_mtd_mat(path: str, rdms: np.ndarray, two_beam_vars: bool = False) -> str:
     """Write stage-2 RDMs as the ``MTD_win_all_beams`` cell array.
 
     ``rdms``: (beam, win, velocity, range) real magnitudes.  Saved as a
     (beam, 1) cell of (win, velocity, range) arrays — byte-compatible with
-    ``save(output_filename, 'MTD_win_all_beams')``.
+    ``save(output_filename, 'MTD_win_all_beams')``.  With
+    ``two_beam_vars=True`` (G1's two-beam stage), writes the older
+    ``MTD_0`` / ``MTD_1`` variable pair instead
+    (``MTD/main_produce_dataset_win_xzr.m:37-42`` save contract).
     """
     rdms = np.asarray(rdms)
     if rdms.ndim != 4:
         raise ValueError(f"rdms must be (beam, win, v, r), got {rdms.shape}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if two_beam_vars:
+        if rdms.shape[0] != 2:
+            raise ValueError(
+                f"two_beam_vars needs exactly 2 beams, got {rdms.shape[0]}"
+            )
+        _sio().savemat(
+            path, {"MTD_0": rdms[0], "MTD_1": rdms[1]}, do_compression=True
+        )
+        return path
     cell = np.empty((rdms.shape[0], 1), dtype=object)
     for b in range(rdms.shape[0]):
         cell[b, 0] = rdms[b]
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     _sio().savemat(path, {"MTD_win_all_beams": cell}, do_compression=True)
     return path
 

@@ -345,3 +345,56 @@ def test_cli_ingest_g1_debug_plots(tmp_path, monkeypatch):
         "--debug-plots", str(dbg),
     ]) == 0
     assert sorted(os.listdir(dbg)) == ["iq_frame_0.png", "iq_frame_1.png"]
+
+
+def test_cli_stream(tmp_path, capsys):
+    """`cli stream` drives the StreamingPipeline: all-beam detections,
+    per-frame hit counters and latency stats."""
+    cap = str(tmp_path / "capture")
+    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames", "4",
+              "--velocity", "4.0", "--range", "60", "--scr", "25"])
+    capsys.readouterr()
+    assert cli.main([
+        "stream", "--input", cap, "--profile", "TINY", "--frames", "4",
+        "--win-size", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [f["frame"] for f in out["frames"]] == [0, 1, 2]
+    assert out["counters"]["frames_ingested"] == 4
+    assert out["counters"]["windows_processed"] == 3
+    for f in out["frames"]:
+        assert f["cfar_hits"] > 0
+        assert len(f["detections_per_beam"]) == 2  # per-beam counts
+
+
+def test_cli_mtd_g1_two_beam_mat_contract(tmp_path, monkeypatch):
+    """G1 stage-2 --format mat writes the MTD_0/MTD_1 variable pair
+    (MTD/main_produce_dataset_win_xzr.m:37-42)."""
+    import scipy.io as sio
+
+    from radar_signal_process_tpu.config import G1_PROFILE
+    from radar_signal_process_tpu.sim.packets_synth import write_g1_capture
+    from radar_signal_process_tpu.utils import matbus
+
+    tg1 = dataclasses.replace(
+        G1_PROFILE, prt_per_frame=16, point_prt=344,
+        segment_points=(24, 80, 240), cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    monkeypatch.setitem(PROFILES, "TG1M", tg1)
+    rng = np.random.default_rng(5)
+    shape = (2, 16, 344)
+    left = rng.integers(-500, 500, shape) + 1j * rng.integers(-500, 500, shape)
+    cap = tmp_path / "cap"
+    write_g1_capture(str(cap), left, 2 * left, frames_per_file=5)
+    fr, rdm = str(tmp_path / "fr"), str(tmp_path / "rdm")
+    assert cli.main(["ingest", "--input", str(cap), "--output", fr,
+                     "--profile", "TG1M", "--frames", "2",
+                     "--frames-per-file", "5"]) == 0
+    assert cli.main(["mtd", "--input", fr, "--output", rdm,
+                     "--profile", "TG1M", "--frames", "1", "--win-size", "2",
+                     "--format", "mat"]) == 0
+    m = sio.loadmat(matbus.mat_frame_path(rdm, 0))
+    assert "MTD_0" in m and "MTD_1" in m and "MTD_win_all_beams" not in m
+    # and the generic loader reads the pair back as a (2, ...) stack
+    stack = matbus.load_mtd_mat(matbus.mat_frame_path(rdm, 0))
+    assert stack.shape == (2, 2, 16, 344)
