@@ -145,7 +145,11 @@ def _ingest_g1(args, profile) -> int:
         try:
             # artifact index is 0-based; the packet reader is 1-based
             left, right, angles, meta = reader.read_frame(out_idx + 1)
-        except (FileNotFoundError, EOFError) as e:
+        except (OSError, EOFError) as e:
+            # missing next file / truncated frame = end of capture (the
+            # reference's G1 driver also just stops); the NumPy reader
+            # raises FileNotFoundError/EOFError, the native one IOError
+            # with the C return code (-1 open, -2 short read)
             log.info("end of stream at frame %d (%s)", out_idx, e)
             break
         if args.format == "mat":

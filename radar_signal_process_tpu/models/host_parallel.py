@@ -174,12 +174,15 @@ def pipelined_window_map(
                 with cond:
                     job = None
                     while job is None:
+                        if errors:       # abort fast; partial results die
+                            out[t] = acc
+                            return
                         if ready:
                             job = ("item", ready.pop())
                         elif next_pc[0] < len(pc_jobs):
                             job = ("pc", pc_jobs[next_pc[0]])
                             next_pc[0] += 1
-                        elif items_left[0] == 0 or errors:
+                        elif items_left[0] == 0:
                             out[t] = acc
                             return
                         else:
@@ -372,12 +375,17 @@ def make_cpu_stream_processor(
         real_dtype = np.float64 if now.dtype == jnp.complex128 else np.float32
         out = np.empty((n_beams, win_size, n_prt, n_pts), dtype=real_dtype)
 
-        pcs_now = cache.pop(frame_idx, None) if frame_idx is not None else None
-        if pcs_now is None:
+        # the cache trusts frame_idx to mean "the same frame data as last
+        # call's frame_next"; a tiny content probe guards against callers
+        # reusing indices for different data (silent wrong results)
+        probe = np.asarray(now[:1, :2, :8])
+        hit = cache.pop(frame_idx, None) if frame_idx is not None else None
+        if hit is not None and np.array_equal(hit[1], probe):
+            pcs_now = hit[0]
+            need_now = False
+        else:
             pcs_now = [None] * len(bounds)
             need_now = True
-        else:
-            need_now = False
         pcs_nxt = [None] * len(bounds)
 
         def pc_phase(ci):
@@ -416,7 +424,7 @@ def make_cpu_stream_processor(
         _thread_map(work, n_threads)
         if frame_idx is not None:
             cache.clear()
-            cache[frame_idx + 1] = pcs_nxt
+            cache[frame_idx + 1] = (pcs_nxt, np.asarray(nxt[:1, :2, :8]))
         return out
 
     return process

@@ -398,3 +398,33 @@ def test_cli_mtd_g1_two_beam_mat_contract(tmp_path, monkeypatch):
     # and the generic loader reads the pair back as a (2, ...) stack
     stack = matbus.load_mtd_mat(matbus.mat_frame_path(rdm, 0))
     assert stack.shape == (2, 2, 16, 344)
+
+
+def test_cli_ingest_g1_eos_stops_cleanly(tmp_path, monkeypatch):
+    """Requesting more frames than the capture holds ends the run cleanly
+    with both the native (IOError rc) and NumPy (FileNotFoundError)
+    readers — regression for the round-3 EOS handling."""
+    import os
+
+    from radar_signal_process_tpu.config import G1_PROFILE
+    from radar_signal_process_tpu.sim.packets_synth import write_g1_capture
+    from radar_signal_process_tpu.utils.manifest import frame_path
+
+    tg1 = dataclasses.replace(
+        G1_PROFILE, prt_per_frame=8, point_prt=64,
+        segment_points=(16, 16, 32), cfar_segments=((0, 64),),
+    )
+    monkeypatch.setitem(PROFILES, "TG1E", tg1)
+    rng = np.random.default_rng(9)
+    l = rng.integers(-100, 100, (3, 8, 64)) + 0j
+    cap = tmp_path / "cap"
+    write_g1_capture(str(cap), l, l, frames_per_file=2)
+    for native in ("--native", "--no-native"):
+        out = str(tmp_path / f"fr{native}")
+        assert cli.main([
+            "ingest", "--input", str(cap), "--output", out,
+            "--profile", "TG1E", "--frames", "6", "--frames-per-file", "2",
+            native,
+        ]) == 0
+        assert os.path.exists(frame_path(out, 2))
+        assert not os.path.exists(frame_path(out, 3))

@@ -144,3 +144,26 @@ def test_pipelined_window_map_fuzz(rng):
                  2.0 * frames[w + 1][lo + b, :start]], axis=0,
             )
             np.testing.assert_array_equal(row, want)
+
+
+def test_cpu_stream_processor_probe_rejects_stale_cache(rng):
+    """Passing a DIFFERENT frame under the cached index must not reuse the
+    stale compression (the content probe forces a recompute)."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_frame_processor,
+        make_cpu_stream_processor,
+    )
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+    mk = lambda: jnp.asarray(
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+    )
+    a, b, c, d = mk(), mk(), mk(), mk()
+    stream = make_cpu_stream_processor(prof, win_size=2)
+    ref = make_cpu_frame_processor(prof, win_size=2)
+    stream(a, b, frame_idx=0)           # caches PC(b) under index 1
+    got = stream(c, d, frame_idx=1)     # c != b: probe must reject cache
+    np.testing.assert_array_equal(got, ref(c, d))
