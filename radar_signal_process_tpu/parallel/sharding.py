@@ -184,7 +184,20 @@ def sharded_cascaded_cfar2d(
         cand.append(jnp.where(flag_d & inb_d, val_d, neg_inf))
     stacked = jnp.stack(cand, axis=-1)
     best = jnp.argmax(stacked, axis=-1)
-    winner = vflag_ext & (jnp.max(stacked, axis=-1) > neg_inf)
+    # A winner must be a REAL global column (and inside a segment when
+    # segmented): the global-edge shards' outer halo holds wrapped far-end
+    # data, and a phantom winner there would scatter a mark onto the real
+    # edge column — guaranteed to fire on clutter-notched all-zero rows,
+    # where the self-flagging 0 >= 0 compare makes every halo cell a
+    # velocity hit (found by the two-process sp test: 13 phantom flags in
+    # column 0).
+    center_valid = (gidx >= 0) & (gidx < n_global)
+    if segments:
+        inside_any = jnp.zeros_like(center_valid)
+        for start, stop in segments:
+            inside_any = inside_any | ((gidx >= start) & (gidx < stop))
+        center_valid = center_valid & inside_any
+    winner = vflag_ext & (jnp.max(stacked, axis=-1) > neg_inf) & center_valid
 
     # receive-side scatter: cell c is marked when the winner at c-d chose d
     mark = jnp.zeros(ext.shape, dtype=bool)

@@ -97,12 +97,36 @@ def main() -> int:
         out_shardings=NamedSharding(mesh, P()),
     )
     sums = jax.block_until_ready(fn(garr))
+
+    # Phase 2: the halo-exchange sharded pipeline over a (dp=2, sp=2)
+    # global mesh — sp's ppermute/all_to_all collectives cross the process
+    # boundary (the DCN transport), not just dp's final reduction.
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_pipeline
+
+    mesh2 = make_mesh(("dp", "sp"), shape=(2, 2))
+    run = make_sharded_pipeline(prof, mesh2, n_clutter=4, renotch_divisor=20)
+    garr2 = multihost_utils.host_local_array_to_global_array(
+        local, mesh2, P("dp")
+    )
+    rdm_s, flags_s, _ = run(garr2)
+    import jax.numpy as _jnp
+
+    halo = jax.jit(
+        lambda r, f: _jnp.stack(
+            [_jnp.sum(r).astype(_jnp.float32), _jnp.sum(f).astype(_jnp.float32)]
+        ),
+        out_shardings=NamedSharding(mesh2, P()),
+    )(rdm_s, flags_s)
+    halo = jax.block_until_ready(halo)
+
     result = {
         "process_id": pid,
         "num_processes": n_procs,
         "n_devices": len(jax.devices()),
         "rdm_sum": float(sums[0]),
         "flag_sum": float(sums[1]),
+        "halo_rdm_sum": float(halo[0]),
+        "halo_flag_sum": float(halo[1]),
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

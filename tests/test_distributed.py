@@ -87,6 +87,14 @@ def test_two_process_dp_mesh_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         results[0]["rdm_sum"], results[1]["rdm_sum"], rtol=1e-6
     )
+    # phase 2: halo-exchange (dp=2, sp=2) pipeline — its sp collectives
+    # crossed the process boundary; flags are bit-identical to the
+    # unsharded detect chain, so the counts must agree exactly
+    assert results[0]["halo_flag_sum"] == results[1]["halo_flag_sum"]
+    assert results[0]["halo_flag_sum"] == results[0]["flag_sum"]
+    np.testing.assert_allclose(
+        results[0]["halo_rdm_sum"], results[0]["rdm_sum"], rtol=1e-5
+    )
 
     # parity vs the unsharded single-process chain on the same batch
     sys.path.insert(0, os.path.dirname(_WORKER))

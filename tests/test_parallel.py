@@ -336,3 +336,34 @@ def test_expert_parallel_capacity_drops_to_zero(rng):
             np.testing.assert_array_equal(got[f], want[f])
         else:
             assert not got[f].any(), f"frame {f} should have been dropped"
+
+
+def test_sharded_pipeline_renotch_no_phantom_edge_flags(rng, mesh):
+    """R3 regression: wrapped global-edge halo columns must never become
+    cascade winners.  With the wide re-notch, notched all-zero rows
+    self-flag (0 >= 0) in the wrapped halo too, and an unmasked phantom
+    winner there scatters marks onto real edge columns (seen as 13 extra
+    column-0 flags in the two-process run)."""
+    import dataclasses
+
+    from radar_signal_process_tpu.models.detect import detect_rdm
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_pipeline
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)), n_beams=2,
+    )
+    cfg = CFARConfig(threshold=5.0)
+    echo = (rng.standard_normal((2, 32, 344))
+            + 1j * rng.standard_normal((2, 32, 344))).astype(np.complex64)
+
+    rdm_u = mtd_produce(jnp.asarray(echo), prof)
+    flags_u, _ = detect_rdm(rdm_u, prof, 4, cfg=cfg)
+
+    run = make_sharded_pipeline(prof, mesh, cfg, n_clutter=4,
+                                renotch_divisor=20)
+    x = jax.device_put(jnp.asarray(echo), NamedSharding(mesh, P("dp")))
+    _, flags_s, _ = run(x)
+    np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
