@@ -533,6 +533,11 @@ def cmd_stream(args) -> int:
     from radar_signal_process_tpu.models.streaming import StreamingPipeline
 
     profile = PROFILES[args.profile]
+    if profile.bytes_head != 64:
+        raise SystemExit(
+            f"stream supports G2-format captures only (profile "
+            f"{profile.name}); use `dmx` for G1/G0 dual-beam captures"
+        )
     reader_cls = G2FrameReader
     if args.native and native_available():
         from radar_signal_process_tpu.ingest.native_loader import (
