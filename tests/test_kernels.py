@@ -165,3 +165,20 @@ def test_pallas_cfar_tall_rdm_auto_chunk(rng):
     got_f, got_v = cascaded_cfar2d_pallas(jnp.asarray(rdm), cfg, 20)
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+def test_pallas_cfar_notched_rows_and_edge_columns(rng):
+    """Notched all-zero rows self-flag (0 >= 0) and edge columns exercise
+    the window fallbacks — the input class that exposed the sharded-halo
+    phantom-winner bug; the fused kernel must stay bit-identical there."""
+    rdm = _rdm(rng)
+    rdm[44:53, :] = 0.0                        # wide clutter re-notch band
+    rdm[int(rng.integers(8, 40)), 0] += 40.0   # global-edge column hits
+    rdm[int(rng.integers(56, 88)), 159] += 40.0
+    cfg = CFARConfig(ref_cells=5, guard_cells=7, threshold=5.0)
+    want_f, want_v = cascaded_cfar2d(jnp.asarray(rdm), cfg, 6)
+    got_f, got_v = cascaded_cfar2d_pallas(
+        jnp.asarray(rdm), cfg, 6, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
