@@ -62,3 +62,38 @@ def test_stream_chain_matches_batched(rng):
     # flag counts are integral and must agree exactly across all windows
     assert got[1] == want[1]
     np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
+
+
+def test_stream_chain_matches_batched_g1_geometry(rng):
+    """Stream-vs-batched parity on a G1-style profile (different segment
+    split, wide-notch divisor) — the cross-boundary CPI assembly must hold
+    for every profile geometry, not just the G2-like one."""
+    from radar_signal_process_tpu.config import G1_PROFILE
+
+    # geometry respects the documented CFAR floor (every segment and the
+    # clutter-cropped velocity extent > 2*(ref+guard) = 24; see ops/cfar.py
+    # — below it, cells with BOTH reference windows invalid legitimately
+    # diverge between the roll and padded-slice forms)
+    tg1 = dataclasses.replace(
+        G1_PROFILE, prt_per_frame=32, point_prt=300,
+        segment_points=(30, 110, 160),
+        cfar_segments=((0, 30), (30, 140), (140, 300)), n_beams=2,
+    )
+    prof, stream = bench.build_stream_chain(profile=tg1, n_clutter=3)
+    _, batched = bench.build_chain(beam_mapped=False, profile=tg1, n_clutter=3)
+    shape = (tg1.n_beams, tg1.prt_per_frame, tg1.point_prt)
+    frames = [
+        jnp.asarray(
+            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+                np.complex64
+            )
+        )
+        for _ in range(3)
+    ]
+    got = np.sum(np.asarray(jax.block_until_ready(stream(frames))), axis=0)
+    want = np.zeros(2)
+    for w in range(2):
+        win = jnp.concatenate([frames[w], frames[w + 1]], axis=-2)
+        want += np.asarray(jax.block_until_ready(batched(win)))
+    assert got[1] == want[1]
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-4)
