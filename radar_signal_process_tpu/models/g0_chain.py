@@ -202,6 +202,16 @@ class G0Chain:
         if hit is not None:
             return hit
         chain = self.chain
+        n_freq, n_beam = angle_k_values(chain.sys_num).shape
+        if not (0 <= key[0] < n_freq and 0 <= key[1] < n_beam):
+            # agile mode feeds capture-parsed header fields here; a corrupt
+            # header must fail loud, not wrap into the wrong table row
+            # (MATLAB's freValueGen switch would error the same way)
+            raise ValueError(
+                f"freq_index/beam_pos ({key[0]}, {key[1]}) outside the "
+                f"calibration tables ({n_freq} x {n_beam}); corrupt frame "
+                "header? pin --freq-index/--beam-pos to override"
+            )
         fc = freq_value(key[0])
         wavelength = 299792458.0 / fc                      # lamda = c/fc (:315)
         delta_v = wavelength * self._delta_doppler / 2.0

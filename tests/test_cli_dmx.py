@@ -209,3 +209,14 @@ def test_dmx_cli_gps_overlay(tmp_path, rng, capsys):
     assert rr["n"] >= 1 and vr["n"] >= 1
     assert rr["rmse"] < 2 * prof.delta_r, rr
     assert vr["rmse"] < 0.3, vr
+
+
+def test_g0_chain_rejects_out_of_table_indices():
+    """Corrupt header freq/beam indices must fail loud, not wrap into the
+    wrong calibration-table row (negative numpy indexing is silent)."""
+    import pytest
+
+    chain = G0Chain(G0_PROFILE, G0ChainConfig())
+    for fi, bp in ((-1, 0), (11, 0), (0, 12), (99, 99)):
+        with pytest.raises(ValueError, match="calibration tables"):
+            chain.frame_params(fi, bp)
