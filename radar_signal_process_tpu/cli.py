@@ -329,12 +329,124 @@ def cmd_mtd(args) -> int:
     return 0
 
 
+def _detect_sweep(args, profile) -> int:
+    """Stage-3 threshold sweep over the file bus (``main_cfar.m:40``).
+
+    The reference loops ``for T=[...]`` over the loaded stage-2 frames and
+    writes one ``cfarFlag{win}_T{T}`` directory per threshold.  The CA-CFAR
+    reference levels are threshold-independent, so each frame computes the
+    sliding-window levels ONCE and re-runs only the compare + cascade per
+    threshold — with the threshold traced, one executable covers the whole
+    sweep.
+    """
+    import functools
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.detect import clutter_cells
+    from radar_signal_process_tpu.ops.cfar import (
+        segmented_cfar_from_ref_levels,
+        segmented_cfar_ref_levels,
+    )
+    from radar_signal_process_tpu.ops.measure import extract_detections
+    from radar_signal_process_tpu.ops.mtd import (
+        zero_velocity_notch,
+        zero_velocity_notch_unshifted,
+    )
+    from radar_signal_process_tpu.utils import matbus
+
+    cfg = profile.cfar
+    segments = None
+    timers = StageTimers()
+
+    def t_name(t: float) -> str:
+        return str(int(t)) if float(t).is_integer() else str(t)
+
+    def out_dir(t: float, win_size: int) -> str:
+        if args.format == "mat":
+            # the reference's exact cfarFlag{win}_T{T} directory contract
+            return matbus.cfar_dir(args.output, win_size, t)
+        return f"{args.output}_T{t_name(t)}"
+
+    prep = None
+    done = 0
+    for frame_idx in range(args.frames):
+        try:
+            rdm_arr, _, meta = _load_rdms(args.input, frame_idx, profile)
+        except FileNotFoundError:
+            break
+        win_size = rdm_arr.shape[-3] if rdm_arr.ndim >= 3 else 1
+        if all(
+            _stage_exists(out_dir(t, win_size), frame_idx, args.format)
+            for t in args.thresholds
+        ) and not args.force:
+            done += 1
+            continue
+        rdms = jnp.asarray(rdm_arr)
+        if prep is None:
+            nc = clutter_cells(profile, rdms.shape[-2], args.clutter_v)
+            segments = profile.cfar_segments or ((0, rdms.shape[-1]),)
+
+            @jax.jit
+            def prep(r):
+                rn = (
+                    zero_velocity_notch(r, divisor=20)
+                    if profile.mtd.fftshift
+                    else zero_velocity_notch_unshifted(r, nc)
+                )
+                vref, rref = segmented_cfar_ref_levels(rn, segments, cfg, nc)
+                return rn, vref, rref
+
+            @jax.jit
+            def flags_at(rn, vref, rref, t):
+                return segmented_cfar_from_ref_levels(
+                    rn, vref, rref, t, segments, cfg, nc
+                )
+
+            extract = jax.jit(functools.partial(
+                extract_detections, max_detections=args.max_detections
+            ))
+
+        with timers.stage("cfar_sweep") as h:
+            rn, vref, rref = prep(rdms)
+            for t in args.thresholds:
+                flags, vflags = flags_at(rn, vref, rref, float(t))
+                dets = extract(flags, rdms)
+                d = out_dir(float(t), win_size)
+                if args.format == "mat":
+                    matbus.save_cfar_mat(
+                        matbus.mat_frame_path(d, frame_idx), np.asarray(flags)
+                    )
+                else:
+                    save_frame(
+                        d, frame_idx,
+                        {
+                            "flags": np.asarray(flags),
+                            "vflags": np.asarray(vflags),
+                            "det_v": np.asarray(dets.v_idx),
+                            "det_r": np.asarray(dets.r_idx),
+                            "det_amp": np.asarray(dets.amplitude),
+                            "det_valid": np.asarray(dets.valid),
+                        },
+                        profile, meta={"threshold": float(t)},
+                    )
+                h["fence"] = flags
+        done += 1
+    log.info("detect sweep done (%d frames x %d thresholds)\n%s",
+             done, len(args.thresholds), timers.report())
+    return 0
+
+
 def cmd_detect(args) -> int:
     import jax.numpy as jnp
 
     from radar_signal_process_tpu.models.detect import clutter_cells, make_detector
 
     profile = PROFILES[args.profile]
+    if getattr(args, "thresholds", None):
+        return _detect_sweep(args, profile)
     detector = None
     timers = StageTimers()
     done = 0
@@ -910,6 +1022,11 @@ def build_parser() -> argparse.ArgumentParser:
     det.add_argument("--profile", default="G2", choices=PROFILES)
     det.add_argument("--frames", type=int, default=10)
     det.add_argument("--threshold", type=float, default=5.0)
+    det.add_argument("--thresholds", type=float, nargs="+", default=None,
+                     help="sweep mode (main_cfar.m:40): one output dir per "
+                          "threshold (npz: OUTPUT_T{t}; mat: the reference's "
+                          "cfarFlag{win}_T{t} under OUTPUT), reference "
+                          "levels computed once per frame")
     det.add_argument("--clutter-v", type=float, default=3.0)
     det.add_argument("--max-detections", type=int, default=64)
     det.add_argument("--format", default="npz", choices=("npz", "mat"),

@@ -428,3 +428,47 @@ def test_cli_ingest_g1_eos_stops_cleanly(tmp_path, monkeypatch):
         ]) == 0
         assert os.path.exists(frame_path(out, 2))
         assert not os.path.exists(frame_path(out, 3))
+
+
+def test_cli_detect_threshold_sweep(tmp_path, capsys):
+    """`detect --thresholds ...` (main_cfar.m:40): one output dir per
+    threshold, flags at any T bit-equal to the single-threshold run."""
+    import os
+
+    cap = str(tmp_path / "capture")
+    frames_dir = str(tmp_path / "frames")
+    rdm_dir = str(tmp_path / "rdm")
+    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames", "3",
+              "--velocity", "-5.7", "--range", "60", "--scr", "25"])
+    cli.main(["ingest", "--input", cap, "--output", frames_dir,
+              "--profile", "TINY", "--frames", "3"])
+    cli.main(["mtd", "--input", frames_dir, "--output", rdm_dir,
+              "--profile", "TINY", "--frames", "2", "--win-size", "2"])
+
+    single_dir = str(tmp_path / "det_single")
+    assert cli.main(["detect", "--input", rdm_dir, "--output", single_dir,
+                     "--profile", "TINY", "--frames", "2",
+                     "--threshold", "5"]) == 0
+    sweep_base = str(tmp_path / "det")
+    assert cli.main(["detect", "--input", rdm_dir, "--output", sweep_base,
+                     "--profile", "TINY", "--frames", "2",
+                     "--thresholds", "3", "5", "8"]) == 0
+    for t in ("3", "5", "8"):
+        assert os.path.isdir(f"{sweep_base}_T{t}"), t
+    for f in range(2):
+        want = load_frame(single_dir, f)[0]
+        got = load_frame(f"{sweep_base}_T5", f)[0]
+        np.testing.assert_array_equal(got["flags"], want["flags"])
+        np.testing.assert_array_equal(got["vflags"], want["vflags"])
+        np.testing.assert_array_equal(got["det_r"], want["det_r"])
+    # lower threshold flags a superset of cells
+    f3 = load_frame(f"{sweep_base}_T3", 0)[0]["flags"]
+    f8 = load_frame(f"{sweep_base}_T8", 0)[0]["flags"]
+    assert f3.sum() >= f8.sum()
+
+    # MATLAB-bus form writes the reference's cfarFlag{win}_T{t} directories
+    mat_base = str(tmp_path / "det_mat")
+    assert cli.main(["detect", "--input", rdm_dir, "--output", mat_base,
+                     "--profile", "TINY", "--frames", "1",
+                     "--thresholds", "5", "--format", "mat"]) == 0
+    assert os.path.isdir(os.path.join(mat_base, "cfarFlag2_T5"))
