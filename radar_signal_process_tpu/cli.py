@@ -491,6 +491,16 @@ def cmd_detect(args) -> int:
         with timers.stage("cfar") as h:
             flags, vflags, dets = detector(rdms)
             h["fence"] = flags
+        det_width = None
+        if args.spectral_width_db is not None:
+            from radar_signal_process_tpu.ops.spectrum import (
+                detection_spectral_widths,
+            )
+
+            det_width = np.asarray(detection_spectral_widths(
+                rdms, dets.r_idx, args.spectral_width_db,
+                shifted_input=profile.mtd.fftshift,
+            ))
         if args.format == "mat":
             from radar_signal_process_tpu.utils import matbus
 
@@ -507,6 +517,7 @@ def cmd_detect(args) -> int:
                     "det_r": np.asarray(dets.r_idx),
                     "det_amp": np.asarray(dets.amplitude),
                     "det_valid": np.asarray(dets.valid),
+                    **({"det_width": det_width} if det_width is not None else {}),
                 },
                 profile, meta={"threshold": args.threshold},
             )
@@ -797,6 +808,7 @@ def cmd_dmx(args) -> int:
         profile, G0ChainConfig(),
         5 if args.freq_index is None else args.freq_index,
         0 if args.beam_pos is None else args.beam_pos,
+        spectral_width_db=args.spectral_width_db,
     )
     reader_cls = G1FrameReader
     if args.native:
@@ -840,6 +852,10 @@ def cmd_dmx(args) -> int:
                 "velocity_ms": np.asarray(meas.velocity_ms)[valid].tolist(),
                 "elevation_deg": np.asarray(meas.elevation_deg)[valid].tolist(),
             }
+            if meas.spectral_width is not None:
+                entry[name]["spectral_width_bins"] = np.asarray(
+                    meas.spectral_width
+                )[valid].tolist()
         frames_out.append(entry)
     out = {"frames": frames_out}
     gps_overlay = None
@@ -1029,6 +1045,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "levels computed once per frame")
     det.add_argument("--clutter-v", type=float, default=3.0)
     det.add_argument("--max-detections", type=int, default=64)
+    det.add_argument("--spectral-width-db", type=float, default=None,
+                     help="also record each detection's Doppler spectral "
+                          "width at this dB constraint (K12, "
+                          "ampConstrWidthEst.m)")
     det.add_argument("--format", default="npz", choices=("npz", "mat"),
                      help="'mat' writes cfarFlag_win_{beam} variables; "
                           "inputs auto-detect npz or mat")
@@ -1074,6 +1094,10 @@ def build_parser() -> argparse.ArgumentParser:
     dmx.add_argument("--beam-pos", type=int, default=None,
                      help="pin the beam position; default: per-frame from "
                           "each frame's parsed beamPosNum (agile)")
+    dmx.add_argument("--spectral-width-db", type=float, default=None,
+                     help="also record each detection's Doppler spectral "
+                          "width at this dB constraint (K12, "
+                          "ampConstrWidthEst.m)")
     dmx.add_argument("--gps", default=None)
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)

@@ -97,12 +97,16 @@ class G0Chain:
         power_norm: bool = True,
         max_detections: int = 32,
         use_split: bool | None = None,
+        spectral_width_db: float | None = None,
     ):
         self.profile = profile
         self.chain = chain
         self.freq_index = freq_index
         self.beam_pos = beam_pos
         self.max_detections = max_detections
+        # optional K12 per-detection Doppler width (ampConstrWidthEst.m);
+        # G0 spectra are unshifted, so the width rule fftshifts the column
+        self.spectral_width_db = spectral_width_db
 
         ts = profile.ts
         self.fc = freq_value(freq_index)
@@ -347,6 +351,8 @@ class G0Chain:
             v_interp=self.chain.v_interp_times,
             ele_angle_comp=self.chain.ele_angle_comp,
             ele_angle_sys_err=self.chain.ele_angle_sys_err,
+            spectral_width_db=self.spectral_width_db,
+            spectral_width_shifted=False,
         )
         meas_s = motion_parameters(
             sum_short, diff_short, dets_s, r_scale=self.r_scale_short, **common

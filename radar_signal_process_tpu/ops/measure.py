@@ -122,6 +122,9 @@ class Measurements(NamedTuple):
     velocity_ms: jnp.ndarray  # (K,)
     elevation_deg: jnp.ndarray  # (K,)
     valid: jnp.ndarray        # (K,) bool
+    # optional K12 output: Doppler spectral width per detection, in velocity
+    # bins (``ampConstrWidthEst.m``); None unless requested
+    spectral_width: jnp.ndarray | None = None
 
 
 def motion_parameters(
@@ -141,6 +144,8 @@ def motion_parameters(
     v_interp: int = 4,
     ele_angle_comp: float = 0.0,
     ele_angle_sys_err: float = 0.0,
+    spectral_width_db: float | None = None,
+    spectral_width_shifted: bool = True,
 ) -> Measurements:
     """Per-detection sub-bin range/velocity/elevation estimation.
 
@@ -150,6 +155,11 @@ def motion_parameters(
     Semantics follow ``motionParaMeasure.m:22-82``; window edge corrections
     clamp the support to a contiguous in-bounds block, exactly as the
     reference's index-rebuild does.
+
+    ``spectral_width_db`` (optional) additionally measures each detection's
+    Doppler spectral width from its velocity column with the K12 rule
+    (``ampConstrWidthEst.m:6-41``); ``spectral_width_shifted=False`` marks
+    unshifted (G0-layout) spectra so the column is fftshift'ed first.
     """
     nv, nr = rdm_sum.shape
     w = 2 * extra_dots + 1
@@ -191,6 +201,17 @@ def motion_parameters(
         return r_est, v_est, ele
 
     r_est, v_est, ele = jax.vmap(one)(detections.v_idx, detections.r_idx)
+    width = None
+    if spectral_width_db is not None:
+        from radar_signal_process_tpu.ops.spectrum import (
+            detection_spectral_widths,
+        )
+
+        width = detection_spectral_widths(
+            rdm_sum, detections.r_idx, spectral_width_db,
+            shifted_input=spectral_width_shifted,
+        )
     return Measurements(
-        range_m=r_est, velocity_ms=v_est, elevation_deg=ele, valid=detections.valid
+        range_m=r_est, velocity_ms=v_est, elevation_deg=ele,
+        valid=detections.valid, spectral_width=width,
     )

@@ -68,6 +68,25 @@ def test_cli_pipeline_roundtrip(tmp_path, capsys):
     cols = set(arrays["det_r"][0, 0][valid].tolist())
     assert any(abs(c - 34) <= 1 or abs(c - (104 + 10)) <= 1 for c in cols), cols
 
+    # optional K12 per-detection Doppler widths (--spectral-width-db)
+    width_dir = str(tmp_path / "det_w")
+    assert cli.main([
+        "detect", "--input", rdm_dir, "--output", width_dir, "--profile",
+        "TINY", "--frames", "1", "--threshold", "5",
+        "--spectral-width-db", "-15.0",
+    ]) == 0
+    w_arrays, _, _ = load_frame(width_dir, 0)
+    assert w_arrays["det_width"].shape == w_arrays["det_amp"].shape
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.ops.spectrum import detection_spectral_widths
+
+    rdm0 = load_frame(rdm_dir, 0)[0]["rdm"]
+    want = np.asarray(detection_spectral_widths(
+        jnp.asarray(rdm0), jnp.asarray(w_arrays["det_r"]), -15.0,
+    ))
+    np.testing.assert_array_equal(w_arrays["det_width"], want)
+
 
 def test_cli_e2e_json(tmp_path, capsys):
     cap = str(tmp_path / "capture")

@@ -220,3 +220,24 @@ def test_g0_chain_rejects_out_of_table_indices():
     for fi, bp in ((-1, 0), (11, 0), (0, 12), (99, 99)):
         with pytest.raises(ValueError, match="calibration tables"):
             chain.frame_params(fi, bp)
+
+
+def test_dmx_cli_spectral_width(tmp_path, rng, capsys):
+    """--spectral-width-db surfaces K12 per-detection Doppler widths."""
+    prof = G0_PROFILE
+    chain_cfg = G0ChainConfig()
+    fd = -60 * prof.prf / chain_cfg.mtd_fft_length
+    _g0_capture(tmp_path, rng, fd, 100)
+    assert cli.main([
+        "dmx", "--input", str(tmp_path), "--frames", "1",
+        "--freq-index", "5", "--beam-pos", "2",
+        "--spectral-width-db", "-10.0",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    frame = out["frames"][0]
+    widths = frame["long"]["spectral_width_bins"]
+    assert len(widths) == len(frame["long"]["range_m"])
+    assert all(w >= 0.0 for w in widths)
+    # the injected single-Doppler-line target has a narrow width; a notched
+    # column can never fill the whole axis
+    assert max(widths) < chain_cfg.mtd_fft_length / 2

@@ -84,3 +84,80 @@ def test_ddc_decimation_factor():
     assert head.ddc_decimation == 2   # KuP4K
     head2 = G2Header(0, 0, 0, 16, 0, 3404, 1, 332, 2, 0, 228, 723, 2453)
     assert head2.ddc_decimation == 4  # X3D8K
+
+
+def _col_width_oracle(col_mag, thresh_db, shifted=True):
+    """K12 width on a magnitude Doppler column (ampConstrWidthEst.m:20-41)."""
+    mag = col_mag if shifted else np.fft.fftshift(col_mag)
+    db = 20 * np.log10(mag / mag.max())
+    idx = np.nonzero(db >= thresh_db)[0]
+    return float(idx[-1] - idx[0]) if len(idx) else 0.0
+
+
+def test_detection_spectral_widths_matches_oracle(rng):
+    from radar_signal_process_tpu.ops.spectrum import detection_spectral_widths
+
+    nv, nr = 64, 48
+    rdm = rng.random((nv, nr)).astype(np.float32) * 0.1
+    # two synthetic detections with distinct Doppler mainlobes
+    rdm[30:35, 10] += np.hanning(5) * 8.0
+    rdm[10:21, 33] += np.hanning(11) * 5.0
+    r_idx = jnp.asarray(np.array([10, 33], dtype=np.int32))
+    got = np.asarray(detection_spectral_widths(jnp.asarray(rdm), r_idx, -20.0))
+    want = [_col_width_oracle(rdm[:, r], -20.0) for r in (10, 33)]
+    np.testing.assert_allclose(got, want)
+
+
+def test_detection_spectral_widths_unshifted_layout(rng):
+    """G0-layout (unshifted) columns are fftshift'ed before the width rule."""
+    from radar_signal_process_tpu.ops.spectrum import detection_spectral_widths
+
+    nv, nr = 32, 8
+    rdm = rng.random((nv, nr)).astype(np.float32) * 0.01
+    # clutter-free mainlobe straddling the wrap point (rows N-2..1)
+    for i, row in enumerate([nv - 2, nv - 1, 0, 1]):
+        rdm[row, 3] += (2.0, 8.0, 8.0, 2.0)[i]
+    r_idx = jnp.asarray(np.array([3], dtype=np.int32))
+    got = float(detection_spectral_widths(
+        jnp.asarray(rdm), r_idx, -15.0, shifted_input=False
+    )[0])
+    want = _col_width_oracle(rdm[:, 3], -15.0, shifted=False)
+    assert got == want
+    # without the shift the straddling lobe would span nearly the full axis
+    wrong = float(detection_spectral_widths(jnp.asarray(rdm), r_idx, -15.0)[0])
+    assert wrong > got
+
+
+def test_motion_parameters_optional_spectral_width(rng):
+    """spectral_width_db threads K12 widths through the measurement stage."""
+    from radar_signal_process_tpu.ops.measure import (
+        extract_detections,
+        motion_parameters,
+    )
+    from radar_signal_process_tpu.ops.spectrum import detection_spectral_widths
+
+    nv, nr = 40, 32
+    rdm = rng.random((nv, nr)).astype(np.float32) * 0.1
+    rdm[18:23, 12] += np.hanning(5) * 9.0
+    flags = np.zeros((nv, nr), dtype=bool)
+    flags[20, 12] = True
+    dets = extract_detections(jnp.asarray(flags), jnp.asarray(rdm), 4)
+    common = dict(
+        r_scale=np.arange(nr) * 6.0, delta_r=6.0,
+        v_scale=np.linspace(-20, 20, nv), delta_v=1.0, k_value=1.0,
+        beam_pos=0, beam_angle_step=5.0, n_clutter=2,
+    )
+    base = motion_parameters(jnp.asarray(rdm), jnp.asarray(rdm) * 0.1, dets,
+                             **common)
+    assert base.spectral_width is None
+    meas = motion_parameters(jnp.asarray(rdm), jnp.asarray(rdm) * 0.1, dets,
+                             spectral_width_db=-20.0, **common)
+    want = np.asarray(detection_spectral_widths(
+        jnp.asarray(rdm), dets.r_idx, -20.0
+    ))
+    np.testing.assert_array_equal(np.asarray(meas.spectral_width), want)
+    assert float(want[0]) == _col_width_oracle(rdm[:, 12], -20.0)
+    # the original estimates are untouched
+    np.testing.assert_array_equal(
+        np.asarray(meas.range_m), np.asarray(base.range_m)
+    )
