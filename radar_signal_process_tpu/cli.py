@@ -267,6 +267,25 @@ def cmd_mtd(args) -> int:
 
         stc_curve = load_stc_curve(args.istc)
         profile = dc.replace(profile, mtd=dc.replace(profile.mtd, istc=True))
+    pulses = None
+    if getattr(args, "match_waveform", None):
+        # measured matched-filter waveforms per chirped segment (the
+        # reference's commented hook, fun_MTD_produce.m:72-78 / temp.m:50-56)
+        from radar_signal_process_tpu.ops.waveforms import (
+            load_measured_pulse,
+            pulses_with_overrides,
+        )
+
+        overrides = {}
+        for spec in args.match_waveform:
+            seg_s, _, rest = spec.partition("=")
+            if not rest:
+                raise SystemExit(
+                    f"--match-waveform needs SEG=PATH[:VAR], got {spec!r}"
+                )
+            path, _, var = rest.partition(":")
+            overrides[int(seg_s)] = load_measured_pulse(path, var or None)
+        pulses = pulses_with_overrides(profile, overrides)
     if jax.default_backend() == "cpu":
         # host-thread fan-out over beam chunks with split stage executables
         # plus per-frame PC reuse across consecutive windows (see
@@ -276,11 +295,13 @@ def cmd_mtd(args) -> int:
         )
 
         process = make_cpu_stream_processor(
-            profile, win_size=args.win_size, stc_curve_db=stc_curve
+            profile, win_size=args.win_size, stc_curve_db=stc_curve,
+            pulses=pulses,
         )
     else:
         _p = make_frame_processor(
-            profile, win_size=args.win_size, stc_curve_db=stc_curve
+            profile, win_size=args.win_size, stc_curve_db=stc_curve,
+            pulses=pulses,
         )
 
         def process(a, b, frame_idx=None):
@@ -1023,6 +1044,11 @@ def build_parser() -> argparse.ArgumentParser:
     mtd.add_argument("--profile", default="G2", choices=PROFILES)
     mtd.add_argument("--frames", type=int, default=10)
     mtd.add_argument("--win-size", type=int, default=4)
+    mtd.add_argument("--match-waveform", action="append", default=None,
+                     metavar="SEG=PATH[:VAR]",
+                     help="measured matched-filter waveform for chirped "
+                          "segment SEG (0-based) from a .mat/.npz/.npy file "
+                          "(fun_MTD_produce.m:72-78 hook); repeatable")
     mtd.add_argument("--istc", default=None, metavar="CURVE_TXT",
                      help="apply iSTC gain compensation from a "
                           "textread-style dB curve file (fun_iSTC.m:6-15)")

@@ -24,6 +24,32 @@ from radar_signal_process_tpu.ops.waveforms import reference_pulses
 from radar_signal_process_tpu.ops.windows import make_window
 
 
+def make_g1_validation_chain(
+    profile: RadarProfile = G1_PROFILE, pulses=None
+):
+    """Jitted G1 validation chain with optional measured matched filters.
+
+    ``pulses`` overrides the synthesized reference waveforms per segment
+    (the measured-pulse hook, ``fun_MTD_produce.m:72-78`` / ``temp.m:50-56``;
+    build with ``ops.waveforms.pulses_with_overrides``).
+    """
+    if pulses is None:
+        pulses = reference_pulses(profile)
+
+    @jax.jit
+    def chain(echo: jnp.ndarray) -> jnp.ndarray:
+        pc = segmented_pulse_compression(echo, profile, pulses)
+        pc = range_concatenate(pc, G1_RANGE_CONCAT)
+        n_pulses = echo.shape[-2]
+        window = make_window(
+            profile.mtd.window, n_pulses, profile.mtd.window_beta
+        )
+        rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
+        return zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+
+    return chain
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def g1_validation_chain(
     echo: jnp.ndarray, profile: RadarProfile = G1_PROFILE

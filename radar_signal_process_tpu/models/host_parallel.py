@@ -232,7 +232,7 @@ def pipelined_window_map(
 
 
 def make_cpu_frame_processor(
-    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None, pulses=None
 ):
     """CPU-threaded equivalent of ``make_frame_processor``.
 
@@ -245,7 +245,7 @@ def make_cpu_frame_processor(
 
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
 
-    pulses = reference_pulses(profile)
+    pulses = reference_pulses(profile) if pulses is None else pulses
     window = make_window(
         profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
     )
@@ -305,7 +305,7 @@ def make_cpu_frame_processor(
 
 
 def make_cpu_stream_processor(
-    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None, pulses=None
 ):
     """Sequential-frame variant of ``make_cpu_frame_processor`` with
     per-frame pulse-compression reuse.
@@ -322,7 +322,7 @@ def make_cpu_stream_processor(
 
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
 
-    pulses = reference_pulses(profile)
+    pulses = reference_pulses(profile) if pulses is None else pulses
     window = make_window(
         profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
     )

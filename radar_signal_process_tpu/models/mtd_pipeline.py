@@ -64,6 +64,7 @@ def mtd_produce(
     profile: RadarProfile,
     stc_curve_db=None,
     use_pallas_rdm: bool | None = None,
+    pulses=None,
 ) -> jnp.ndarray:
     """Echo (..., n_pulses, point_prt) -> magnitude RDM of the same shape.
 
@@ -72,10 +73,13 @@ def mtd_produce(
     reference's dormant hooks are wired as profile options: iSTC gain
     compensation before compression (``fun_MTD_produce.m:80-81``) and the
     MTI canceller before the Doppler FFT (``fun_Process_MTI.m``).
+    ``pulses`` overrides the synthesized matched-filter waveforms (the
+    measured-pulse hook, ``fun_MTD_produce.m:72-78`` / ``temp.m:50-56``;
+    build with ``ops.waveforms.pulses_with_overrides``).
     """
     from radar_signal_process_tpu.ops.mtd import istc_compensate, mti_cancel
 
-    pulses = reference_pulses(profile)
+    pulses = reference_pulses(profile) if pulses is None else pulses
     if profile.mtd.istc and stc_curve_db is not None:
         echo = istc_compensate(echo, stc_curve_db)
     pc = segmented_pulse_compression(echo, profile, pulses)
@@ -107,6 +111,7 @@ def mtd_window_produce(
     win_size: int = 4,
     stc_curve_db=None,
     use_pallas_rdm: bool | None = None,
+    pulses=None,
 ) -> jnp.ndarray:
     """Doubled-CPI window (..., 2*n_prt, n_pts) -> (..., win_size, n_prt, n_pts) RDMs.
 
@@ -120,7 +125,7 @@ def mtd_window_produce(
     """
     from radar_signal_process_tpu.ops.mtd import istc_compensate, mti_cancel
 
-    pulses = reference_pulses(profile)
+    pulses = reference_pulses(profile) if pulses is None else pulses
     if profile.mtd.istc and stc_curve_db is not None:
         echo_win = istc_compensate(echo_win, stc_curve_db)
     pc_win = segmented_pulse_compression(echo_win, profile, pulses)
@@ -131,7 +136,7 @@ def mtd_window_produce(
 
 
 def make_frame_processor(
-    profile: RadarProfile, win_size: int = 4, stc_curve_db=None
+    profile: RadarProfile, win_size: int = 4, stc_curve_db=None, pulses=None
 ):
     """Jitted processor for one frame pair.
 
@@ -147,7 +152,8 @@ def make_frame_processor(
     def process(frame_now: jnp.ndarray, frame_next: jnp.ndarray) -> jnp.ndarray:
         window = jnp.concatenate([frame_now, frame_next], axis=-2)
         return mtd_window_produce(
-            window, profile, win_size, stc_curve_db=stc_curve_db
+            window, profile, win_size, stc_curve_db=stc_curve_db,
+            pulses=pulses,
         )
 
     return process

@@ -37,6 +37,67 @@ def reference_pulses(profile: RadarProfile) -> Tuple[np.ndarray, ...]:
     return tuple(pulses)
 
 
+def load_measured_pulse(path: str, var: str | None = None) -> np.ndarray:
+    """Load one measured matched-filter waveform from ``.mat``/``.npz``/``.npy``.
+
+    The reference keeps measured pulse tables as an alternative to the
+    synthesized LFM references (hard-coded at ``temp.m:50-56``, the
+    commented hook at ``MTD/fun_MTD_produce.m:72-78``, and the G0 fixtures
+    ``refDDCDataMF1.mat``/``refDBFDataMF1.mat`` loaded at
+    ``DMX_SignalProcessing_main_xzr.m:156-159``).  ``var`` selects the
+    variable/array name; default: the single non-metadata entry.
+    """
+    if path.endswith(".mat"):
+        import scipy.io as sio
+
+        data = {k: v for k, v in sio.loadmat(path).items()
+                if not k.startswith("__")}
+    elif path.endswith(".npz"):
+        data = dict(np.load(path))
+    else:
+        return np.asarray(np.load(path)).ravel().astype(np.complex128)
+    if var is None:
+        if len(data) != 1:
+            raise ValueError(
+                f"{path} holds {sorted(data)}; pass var= to select one"
+            )
+        (var,) = data
+    if var not in data:
+        raise KeyError(f"{var!r} not in {path} (has {sorted(data)})")
+    return np.asarray(data[var]).ravel().astype(np.complex128)
+
+
+def pulses_with_overrides(
+    profile: RadarProfile, overrides: dict[int, np.ndarray]
+) -> Tuple[np.ndarray, ...]:
+    """Reference pulses with measured waveforms substituted per segment.
+
+    ``overrides`` maps 0-based segment index -> measured complex waveform.
+    Only chirped (matched-filter) segments can be overridden — the narrow
+    segment uses the FIR path, which has no reference pulse
+    (``fun_lss_pulse_compression.m:31-51``).
+    """
+    pulses = list(reference_pulses(profile))
+    for seg, wf in overrides.items():
+        if not (0 <= seg < len(pulses)):
+            raise ValueError(
+                f"segment {seg} out of range (profile has {len(pulses)})"
+            )
+        if profile.chirp_signs[seg] == 0:
+            raise ValueError(
+                f"segment {seg} is the FIR narrow-pulse path; only chirped "
+                "segments take a matched-filter waveform"
+            )
+        wf = np.asarray(wf).ravel().astype(np.complex128)
+        if len(wf) > profile.segment_points[seg]:
+            raise ValueError(
+                f"measured waveform ({len(wf)} samples) longer than "
+                f"segment {seg} ({profile.segment_points[seg]} points)"
+            )
+        pulses[seg] = wf
+    return tuple(pulses)
+
+
 def composite_transmit_pulse(profile: RadarProfile) -> np.ndarray:
     """Composite transmit waveform: pulses placed at their segment starts.
 

@@ -491,3 +491,52 @@ def test_cli_detect_threshold_sweep(tmp_path, capsys):
                      "--profile", "TINY", "--frames", "1",
                      "--thresholds", "5", "--format", "mat"]) == 0
     assert os.path.isdir(os.path.join(mat_base, "cfarFlag2_T5"))
+
+
+def test_cli_mtd_match_waveform(tmp_path, capsys):
+    """--match-waveform feeds measured pulses into stage 2 (both CPU
+    stream and jitted paths produce the overridden RDMs)."""
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_window_produce
+    from radar_signal_process_tpu.ops.waveforms import pulses_with_overrides
+
+    cap = str(tmp_path / "capture")
+    frames_dir = str(tmp_path / "frames")
+    rdm_dir = str(tmp_path / "rdm_mw")
+    assert cli.main([
+        "simulate", "--output", cap, "--profile", "TINY", "--frames", "3",
+        "--velocity", "-5.7", "--range", "60", "--scr", "25",
+    ]) == 0
+    assert cli.main([
+        "ingest", "--input", cap, "--output", frames_dir, "--profile", "TINY",
+        "--frames", "3",
+    ]) == 0
+
+    # a measured mid-segment waveform (synthesized LFM with a known tweak)
+    rng = np.random.default_rng(3)
+    wf = (np.exp(1j * np.pi * np.linspace(-1, 1, 40) ** 2)
+          * (1.0 + 0.05 * rng.standard_normal(40)))
+    wf_path = str(tmp_path / "mw.npz")
+    np.savez(wf_path, refData=wf)
+
+    assert cli.main([
+        "mtd", "--input", frames_dir, "--output", rdm_dir, "--profile",
+        "TINY", "--frames", "1", "--win-size", "2",
+        "--match-waveform", f"1={wf_path}:refData",
+    ]) == 0
+    arrays, _, _ = load_frame(rdm_dir, 0)
+
+    f0, _, _ = load_frame(frames_dir, 0)
+    f1, _, _ = load_frame(frames_dir, 1)
+    win = np.concatenate(
+        [np.moveaxis(f0["iq"], -1, 0), np.moveaxis(f1["iq"], -1, 0)], axis=-2
+    )
+    pulses = pulses_with_overrides(TINY, {1: wf})
+    want = np.asarray(mtd_window_produce(
+        jnp.asarray(win, jnp.complex64), TINY, 2, pulses=pulses
+    ))
+    np.testing.assert_array_equal(arrays["rdm"], want)
+    # and differs from the synthesized-pulse output
+    base = np.asarray(mtd_window_produce(jnp.asarray(win, jnp.complex64), TINY, 2))
+    assert not np.array_equal(arrays["rdm"], base)

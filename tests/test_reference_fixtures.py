@@ -80,3 +80,61 @@ def test_real_iq_subset_through_ops(rng):
     rdm = np.asarray(doppler_process(jnp.asarray(pc), make_window("kaiser", 100, 8.0)))
     assert np.isfinite(rdm).all()
     assert rdm.max() > 0
+
+
+@needs_ref
+def test_mtd_chain_with_measured_match_waveform(rng):
+    """The measured G0 waveform flows through the stage-2 MTD chain
+    (fun_MTD_produce.m:72-78 hook): pulse compression uses it and the RDM
+    peak lands at the echo's range cell."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_produce
+    from radar_signal_process_tpu.ops.pulse_compression import (
+        segmented_pulse_compression,
+    )
+    from radar_signal_process_tpu.ops.waveforms import (
+        load_measured_pulse,
+        pulses_with_overrides,
+    )
+
+    wf = load_measured_pulse(
+        os.path.join(REF_DIR, "refDDCDataMF1.mat"), "refData"
+    )
+    assert wf.shape == (67,)
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+    )
+    pulses = pulses_with_overrides(prof, {2: wf})
+    np.testing.assert_array_equal(pulses[2], wf)
+
+    # echo: measured waveform at long-segment cell d with a Doppler ramp
+    n, d = prof.prt_per_frame, 50
+    ramp = np.exp(1j * 2 * np.pi * (-8 / n) * np.arange(n))
+    echo = np.zeros((n, prof.point_prt), dtype=np.complex128)
+    s2 = prof.segment_starts[2]
+    echo[:, s2 + d : s2 + d + 67] = ramp[:, None] * wf[None, :]
+
+    rdm = np.asarray(mtd_produce(jnp.asarray(echo), prof, pulses=pulses))
+    v, r = np.unravel_index(np.argmax(rdm), rdm.shape)
+    assert r == s2 + d
+    # matches the composed ops bit-for-bit
+    from radar_signal_process_tpu.ops.mtd import (
+        doppler_process,
+        zero_velocity_notch,
+    )
+    from radar_signal_process_tpu.ops.windows import make_window
+
+    pc = segmented_pulse_compression(jnp.asarray(echo), prof, pulses)
+    window = make_window(prof.mtd.window, n, prof.mtd.window_beta)
+    want = zero_velocity_notch(
+        doppler_process(pc, window), divisor=prof.mtd.notch_divisor
+    )
+    np.testing.assert_array_equal(rdm, np.asarray(want))
+    # and the synthesized-pulse chain puts its peak elsewhere (the measured
+    # waveform is not the ideal LFM) or at least differs numerically
+    rdm_syn = np.asarray(mtd_produce(jnp.asarray(echo), prof))
+    assert not np.array_equal(rdm, rdm_syn)
