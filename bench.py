@@ -467,6 +467,155 @@ def oracle_beam_slice_seconds(prof, echo_slice: np.ndarray, runs: int = 3) -> fl
     return times[len(times) // 2]
 
 
+CHIP_PEAKS = {
+    # name: (peak f32 FLOP/s, memory bytes/s) — public spec numbers for the
+    # v5e; the CPU row is the measured class of the 2-core session host
+    # (see tools/roofline.py)
+    "v5e": (197e12 / 2, 819e9),
+    "cpu2core": (134e9, 20e9),
+}
+
+
+def stage_sol_report(prof, repeat: int, host: np.ndarray) -> dict:
+    """Per-stage MFU / speed-of-light accounting (VERDICT r3 item 2).
+
+    Mirrors the reference's timer placement — PC / MTD / CFAR / parameter
+    measurement (``DMX_SignalProcessing_main_xzr.m:337,355,428,484,496``) —
+    and for each stage reports measured time, XLA cost-analysis FLOPs and
+    bytes, the achieved GFLOP/s and GB/s, the percent of the host's
+    speed-of-light bound actually reached (``sol_pct``), and the projected
+    speed-of-light time on the v5e (device timing is unobservable through
+    the session relay, so the projection is the only TPU perf lens; see
+    BASELINE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.config import CFARConfig
+    from radar_signal_process_tpu.models.detect import make_split_detector
+    from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
+    from radar_signal_process_tpu.ops.measure import (
+        extract_detections,
+        motion_parameters,
+    )
+    from radar_signal_process_tpu.ops.mtd import (
+        doppler_process,
+        zero_velocity_notch,
+    )
+    from radar_signal_process_tpu.ops.pulse_compression import (
+        segmented_pulse_compression,
+    )
+    from radar_signal_process_tpu.ops.waveforms import reference_pulses
+    from radar_signal_process_tpu.ops.windows import make_window
+
+    pulses = reference_pulses(prof)
+    window = make_window(prof.mtd.window, prof.prt_per_frame,
+                         prof.mtd.window_beta)
+    cfg = CFARConfig(threshold=5.0)
+    x = jnp.asarray(host)
+
+    pc_fn = jax.jit(lambda w: segmented_pulse_compression(w, prof, pulses))
+    pc = jax.block_until_ready(pc_fn(x))
+    slices = jax.jit(lambda p: slice_cpi_window(p, 4))(pc)
+
+    def mtd(s):
+        r = doppler_process(s, window)
+        return zero_velocity_notch(r, divisor=prof.mtd.notch_divisor)
+
+    mtd_fn = jax.jit(mtd)
+    rdms = jax.block_until_ready(mtd_fn(slices))
+
+    # CFAR: the split two-executable CPU cascade is the production path; sum
+    # the cost analyses of both executables
+    split = make_split_detector(prof, 14, cfg=cfg)
+    _sum = jax.jit(lambda f: f.astype(jnp.float32).sum())
+
+    def cfar_fn(r):
+        return _sum(split(r)[0])
+
+    # measurement: extract + sub-bin estimation on one RDM (the reference
+    # measures per frame on the combined RDM, :489-516)
+    one_rdm = rdms[0, 0]
+    one_flags = split(one_rdm)[0]
+
+    v_scale = np.linspace(-20.0, 20.0, one_rdm.shape[-2])
+
+    @jax.jit
+    def measure_fn(rdm, fl):
+        dets = extract_detections(fl, rdm, 64)
+        m = motion_parameters(
+            rdm, rdm * 0.1, dets, r_scale=np.arange(rdm.shape[-1]) * 6.0,
+            delta_r=6.0, v_scale=v_scale, delta_v=0.12, k_value=1.0,
+            beam_pos=0, beam_angle_step=5.0, n_clutter=14,
+        )
+        return m.range_m
+
+    jax.block_until_ready(measure_fn(one_rdm, one_flags))
+
+    def _cost(fn, *xs):
+        ca = jax.jit(fn).lower(*xs).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+    # cost analyses (split CFAR = flags + select executables)
+    from radar_signal_process_tpu.ops.cfar import (
+        segmented_cfar_flags,
+        segmented_cfar_select,
+    )
+
+    segments = prof.cfar_segments or ((0, prof.point_prt),)
+
+    def cfar_flags_stage(r):
+        rn = zero_velocity_notch(r, divisor=20)
+        return segmented_cfar_flags(rn, segments, cfg, 14)
+
+    vf, rf = jax.jit(cfar_flags_stage)(rdms)
+
+    def cfar_select_stage(r, v, rr):
+        rn = zero_velocity_notch(r, divisor=20)
+        return segmented_cfar_select(rn, v, rr, segments, cfg, 14)
+
+    costs = {
+        "pc": _cost(lambda w: segmented_pulse_compression(w, prof, pulses), x),
+        "mtd": _cost(mtd, slices),
+        "cfar": tuple(
+            a + b for a, b in zip(
+                _cost(cfar_flags_stage, rdms),
+                _cost(cfar_select_stage, rdms, vf, rf),
+            )
+        ),
+        "measure": _cost(measure_fn, one_rdm, one_flags),
+    }
+
+    times = {
+        "pc": time_chain(pc_fn, x, repeat, max_seconds=8.0),
+        "mtd": time_chain(mtd_fn, slices, repeat, max_seconds=8.0),
+        "cfar": time_chain(cfar_fn, rdms, repeat, max_seconds=8.0),
+        "measure": time_chain(
+            lambda r: measure_fn(r, one_flags), one_rdm, repeat,
+            max_seconds=4.0,
+        ),
+    }
+
+    cpu_peak, cpu_bw = CHIP_PEAKS["cpu2core"]
+    tpu_peak, tpu_bw = CHIP_PEAKS["v5e"]
+    out = {}
+    for name, (flops, bytes_) in costs.items():
+        t = times[name]
+        sol_cpu = max(flops / cpu_peak, bytes_ / cpu_bw)
+        sol_tpu = max(flops / tpu_peak, bytes_ / tpu_bw)
+        out[name] = {
+            "ms": round(t * 1e3, 2),
+            "gflops": round(flops / 1e9, 2),
+            "gbytes": round(bytes_ / 1e9, 2),
+            "gflops_per_s": round(flops / t / 1e9, 1),
+            "gbytes_per_s": round(bytes_ / t / 1e9, 1),
+            "sol_pct": round(100.0 * sol_cpu / t, 1),
+            "sol_ms_v5e": round(sol_tpu * 1e3, 3),
+        }
+    return out
+
+
 def _bench_g0(repeat: int) -> float:
     """G0 end-to-end chain (PC + 2048-pt MTD + CFAR + measurement) frames/s.
 
@@ -567,8 +716,8 @@ def main() -> int:
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--skip-extras", action="store_true",
                     help="skip the G0-chain and native-ingest extra metrics")
-    ap.add_argument("--stages", action="store_true",
-                    help="also report per-stage PC/MTD/CFAR times")
+    ap.add_argument("--skip-stages", action="store_true",
+                    help="skip the per-stage MFU/speed-of-light breakdown")
     ap.add_argument("--oracle-seconds", type=float, default=None,
                     help="use a precomputed oracle beam-slice time")
     ap.add_argument("--profile-dir", default=None,
@@ -649,45 +798,14 @@ def main() -> int:
         max(wall, 1e-9) * max(os.cpu_count() or 1, 1)
     )
 
-    # per-stage breakdown mirroring the reference's timer placement
-    # (DMX_SignalProcessing_main_xzr.m:337-496: PC / MTD / CFAR)
+    # per-stage MFU / speed-of-light breakdown mirroring the reference's
+    # timer placement (DMX_SignalProcessing_main_xzr.m:337,355,428,484,496)
     stage_ms = {}
-    if args.stages:
-        from radar_signal_process_tpu.config import CFARConfig
-        from radar_signal_process_tpu.models.detect import detect_rdm
-        from radar_signal_process_tpu.models.mtd_pipeline import slice_cpi_window
-        from radar_signal_process_tpu.ops.mtd import doppler_process
-        from radar_signal_process_tpu.ops.pulse_compression import (
-            segmented_pulse_compression,
-        )
-        from radar_signal_process_tpu.ops.waveforms import reference_pulses
-        from radar_signal_process_tpu.ops.windows import make_window
-
-        pulses = reference_pulses(prof)
-        window = make_window("kaiser", prof.prt_per_frame, 8.0)
-        cfg = CFARConfig(threshold=5.0)
-        slices = jax.jit(lambda e: slice_cpi_window(e, 4))(jnp.asarray(host))
-        pc_fn = jax.jit(
-            lambda s: segmented_pulse_compression(s, prof, pulses)
-        )
-        pc = pc_fn(slices)
-        mtd_fn = jax.jit(lambda p: doppler_process(p, window))
-        rdm = mtd_fn(pc)
-        from radar_signal_process_tpu.models.detect import make_split_detector
-
-        if jax.default_backend() == "cpu":
-            _split = make_split_detector(prof, 14, cfg=cfg)
-            _sum = jax.jit(lambda f: f.astype(jnp.float32).sum())
-
-            def cfar_fn(r):
-                return _sum(_split(r)[0])
-        else:
-            cfar_fn = jax.jit(
-                lambda r: detect_rdm(r, prof, 14, cfg=cfg)[0].astype(jnp.float32).sum()
-            )
-        stage_ms["pc_ms"] = round(time_chain(pc_fn, slices, args.repeat) * 1e3, 2)
-        stage_ms["mtd_ms"] = round(time_chain(mtd_fn, pc, args.repeat) * 1e3, 2)
-        stage_ms["cfar_ms"] = round(time_chain(cfar_fn, rdm, args.repeat) * 1e3, 2)
+    if not args.skip_stages:
+        try:
+            stage_ms["stages"] = stage_sol_report(prof, args.repeat, host)
+        except Exception as e:  # never sink the headline metric
+            stage_ms["stages_error"] = str(e)[:160]
 
     extras = {}
     if not args.skip_extras:
@@ -713,15 +831,21 @@ def main() -> int:
     # transiently contended host at bench start (seen under driver
     # conditions in round 2: the headline ran 40% slow while the oracle —
     # measured later — did not) gets a second chance to show steady state.
+    # Headline statistic = p50 of all samples across both batches (VERDICT
+    # r3 weakness 1: best-3 selects the uncontended tail; p50 is what a
+    # user actually sees).  The best-3 median stays as a secondary field
+    # showing the uncontended steady state.
     samples += measure()
-    frame_s = robust_stat(samples)
+    spread_sorted = sorted(samples)
+    frame_s = spread_sorted[len(spread_sorted) // 2]
     frames_per_s = 1.0 / frame_s
+    best3_s = robust_stat(samples)
 
     # pulse-compression throughput: complex samples processed per frame
     samples_per_frame = prof.n_beams * 4 * prof.prt_per_frame * prof.point_prt
     msamp_per_s = samples_per_frame * frames_per_s / 1e6
 
-    spread = sorted(samples)
+    spread = spread_sorted
     result = {
         "metric": "rdm_frames_per_s_per_chip",
         "value": round(frames_per_s, 3),
@@ -730,7 +854,8 @@ def main() -> int:
         "platform": platform,
         "timing_channel_ok": timing_ok,
         "frame_ms": round(frame_s * 1e3, 2),
-        "frame_ms_p50": round(spread[len(spread) // 2] * 1e3, 2),
+        "frame_ms_p50": round(frame_s * 1e3, 2),
+        "frame_ms_best3": round(best3_s * 1e3, 2),
         "frame_ms_max": round(spread[-1] * 1e3, 2),
         "timing_samples": len(spread),
         "cpu_utilization": round(cpu_util, 2),
