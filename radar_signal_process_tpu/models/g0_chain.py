@@ -132,6 +132,27 @@ class G0Chain:
             chain.mtd_window, profile.prt_per_frame, chain.mtd_window_beta
         )
 
+        # ---- fused PC+Doppler operators (SURVEY §7.1(a)) ----
+        # Pulse compression is LTI per PRT row, so each segment's compressor
+        # is one host-precomputed matrix: the 512-pt FFT/scale/IFFT matched
+        # filter (:348-353) and the causal raw-tap FIR Toeplitz (:343-344).
+        # The TPU front contracts echo @ M then the windowed 2048-pt DFT
+        # plane on the MXU with the compressed pulses held in VMEM
+        # (kernels.pc_rdm_pallas) — no HBM round-trip between PC and MTD.
+        from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+            pc_matrix_fir,
+            pc_matrix_freq_domain,
+        )
+
+        point_short = profile.segment_points[0]
+        point_long = profile.point_prt - point_short
+        self._pc_matrix_long = pc_matrix_freq_domain(
+            self._match_spec, point_long, chain.pc_fft_length
+        )
+        self._pc_matrix_short = pc_matrix_fir(
+            np.asarray(NARROW_PULSE_FIR_TAPS), point_short
+        )
+
         # ---- clutter / scales (:317-327, :462) ----
         delta_doppler = profile.prf / chain.mtd_fft_length
         self._delta_doppler = delta_doppler
@@ -277,11 +298,35 @@ class G0Chain:
             )
         return jnp.abs(self._mtd(mf))
 
+    def _front_fused(self, left: jnp.ndarray, right: jnp.ndarray):
+        """Fused echo -> |RDM| per segment (kernels.pc_rdm_pallas): PC
+        matrix-contraction + windowed zero-padded Doppler DFT + magnitude in
+        one Pallas pass, compressed pulses resident in VMEM."""
+        from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+            fused_pc_rdm_pallas,
+        )
+
+        prof, chain = self.profile, self.chain
+        point_short = prof.segment_points[0]
+        beams = jnp.stack([left, right])
+        abs_short = fused_pc_rdm_pallas(
+            beams[..., :point_short], self._pc_matrix_short,
+            self._mtd_window, chain.mtd_fft_length, shift=False,
+        )
+        abs_long = fused_pc_rdm_pallas(
+            beams[..., point_short:], self._pc_matrix_long,
+            self._mtd_window, chain.mtd_fft_length, shift=False,
+        )
+        return abs_short, abs_long
+
     def _front_impl(self, left: jnp.ndarray, right: jnp.ndarray, n_clutter: int):
         """PC -> |MTD| -> monopulse sum/diff -> clutter notch."""
-        short_mf, long_mf = self._pc(left, right)
-        abs_short = self._mtd_mag(short_mf)   # (2, mtd_fft, point_short)
-        abs_long = self._mtd_mag(long_mf)     # (2, mtd_fft, pc_fft)
+        if jax.default_backend() == "tpu":
+            abs_short, abs_long = self._front_fused(left, right)
+        else:
+            short_mf, long_mf = self._pc(left, right)
+            abs_short = self._mtd_mag(short_mf)   # (2, mtd_fft, point_short)
+            abs_long = self._mtd_mag(long_mf)     # (2, mtd_fft, pc_fft)
         sum_short = abs_short[0] + abs_short[1]     # |L| + |R| (:421-422)
         sum_long = abs_long[0] + abs_long[1]
         diff_short = abs_short[1] - abs_short[0]    # |R| - |L| (:425-426)

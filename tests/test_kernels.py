@@ -182,3 +182,132 @@ def test_pallas_cfar_notched_rows_and_edge_columns(rng):
     )
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+
+
+# ---------------------------------------------------------------- fused PC+RDM
+def _split_real_reference(echo, m, w):
+    """The kernel's exact arithmetic in jnp: split-real chained matmuls."""
+    xre = jnp.real(echo).astype(jnp.float32)
+    xim = jnp.imag(echo).astype(jnp.float32)
+    mre = jnp.asarray(m.real, jnp.float32)
+    mim = jnp.asarray(m.imag, jnp.float32)
+    wre = jnp.asarray(w.real, jnp.float32)
+    wim = jnp.asarray(w.imag, jnp.float32)
+    pre = xre @ mre - xim @ mim
+    pim = xre @ mim + xim @ mre
+    sre = wre @ pre - wim @ pim
+    sim = wre @ pim + wim @ pre
+    return jnp.sqrt(sre * sre + sim * sim)
+
+
+def test_fused_pc_rdm_matches_split_real_composition(rng):
+    """Interpreter-mode parity with the composed split-real matmuls (to one
+    ulp: XLA CPU re-tiles the full-matrix contraction differently from the
+    kernel's 128-blocks, reassociating the f32 sums)."""
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        fused_pc_rdm_pallas,
+        pc_matrix_freq_domain,
+    )
+    from radar_signal_process_tpu.ops.mtd import _dft_matrix_rect
+
+    n_prt, n_in, pc_fft, n_fft = 256, 100, 128, 512
+    echo = (rng.standard_normal((2, n_prt, n_in))
+            + 1j * rng.standard_normal((2, n_prt, n_in))).astype(np.complex64)
+    match_spec = np.conj(np.fft.fft(
+        rng.standard_normal(40) + 1j * rng.standard_normal(40), pc_fft
+    ))
+    m = pc_matrix_freq_domain(match_spec, n_in, pc_fft)
+    window = np.hamming(n_prt)
+    got = np.asarray(fused_pc_rdm_pallas(
+        jnp.asarray(echo), m, window, n_fft, interpret=True
+    ))
+    # pad m exactly as the kernel does (128-tiles), then compose in jnp
+    m_pad = np.pad(m, ((0, 28), (0, 0)))
+    echo_pad = np.pad(echo, ((0, 0), (0, 0), (0, 28)))
+    w = _dft_matrix_rect(n_fft, n_prt, False, tuple(window.tolist()))
+    want = np.asarray(_split_real_reference(jnp.asarray(echo_pad), m_pad, w))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_fused_pc_rdm_matches_fft_chain(rng):
+    """Numerical equivalence with the reference-style FFT composition
+    (ifft(fft(x, 512) .* matchF2) then windowed zero-padded slow-time FFT,
+    DMX_SignalProcessing_main_xzr.m:348-353,413-418)."""
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        fused_pc_rdm_pallas,
+        pc_matrix_freq_domain,
+    )
+
+    n_prt, n_in, pc_fft, n_fft = 128, 100, 128, 256
+    rng_ = np.random.default_rng(7)
+    echo = (rng_.standard_normal((n_prt, n_in))
+            + 1j * rng_.standard_normal((n_prt, n_in)))
+    pulse = np.exp(1j * np.pi * np.linspace(-1, 1, 40) ** 2)
+    match_spec = np.conj(np.fft.fft(pulse, pc_fft))
+    window = np.hamming(n_prt)
+
+    pc = np.fft.ifft(np.fft.fft(echo, pc_fft, axis=-1) * match_spec, axis=-1)
+    want = np.abs(np.fft.fft(pc * window[:, None], n_fft, axis=0))
+
+    m = pc_matrix_freq_domain(match_spec, n_in, pc_fft)
+    got = np.asarray(fused_pc_rdm_pallas(
+        jnp.asarray(echo.astype(np.complex64)), m, window, n_fft,
+        interpret=True,
+    ))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+
+def test_fir_pc_matrix_matches_filter(rng):
+    """The Toeplitz FIR matrix reproduces MATLAB filter(b,1,x) exactly
+    (the G0 short-segment raw-taps path, :343-344)."""
+    from radar_signal_process_tpu.config import NARROW_PULSE_FIR_TAPS
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import pc_matrix_fir
+    from radar_signal_process_tpu.ops.pulse_compression import fir_compress
+
+    n_in = 62
+    x = (rng.standard_normal((8, n_in))
+         + 1j * rng.standard_normal((8, n_in)))
+    t = pc_matrix_fir(np.asarray(NARROW_PULSE_FIR_TAPS), n_in)
+    got = x @ t
+    want = np.asarray(fir_compress(
+        jnp.asarray(x), NARROW_PULSE_FIR_TAPS, normalize=False,
+        post_scale=1.0, roll_group_delay=False,
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fused_pc_rdm_g0_geometry_peak(rng):
+    """Full G0 geometry through the fused kernel: a Doppler-ramped target at
+    long-segment cell d peaks at (doppler bin, d)."""
+    from radar_signal_process_tpu.config import G0_PROFILE, G0ChainConfig
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        fused_pc_rdm_pallas,
+        pc_matrix_freq_domain,
+    )
+    from radar_signal_process_tpu.ops.windows import make_window
+
+    prof, chain = G0_PROFILE, G0ChainConfig()
+    n, n_in = prof.prt_per_frame, prof.segment_points[1]
+    ts = prof.ts
+    tau2 = prof.pulse_widths[1]
+    n2 = int(round(tau2 / ts))
+    t2 = np.arange(n2) * ts - tau2 / 2.0
+    wf = np.exp(1j * np.pi * (prof.bandwidth / tau2) * t2**2)
+    wf = wf / np.linalg.norm(wf)
+    win_pc = make_window(chain.pc_window, len(wf), chain.pc_window_beta)
+    match_spec = np.conj(np.fft.fft(wf * win_pc, chain.pc_fft_length))
+
+    d, k_dop = 77, 300
+    ramp = np.exp(1j * 2 * np.pi * (k_dop / chain.mtd_fft_length) * np.arange(n))
+    echo = np.zeros((n, n_in), dtype=np.complex64)
+    echo[:, d : d + n2] = ramp[:, None] * wf[None, :]
+
+    m = pc_matrix_freq_domain(match_spec, n_in, chain.pc_fft_length)
+    mtd_win = make_window(chain.mtd_window, n, chain.mtd_window_beta)
+    rdm = np.asarray(fused_pc_rdm_pallas(
+        jnp.asarray(echo), m, mtd_win, chain.mtd_fft_length, interpret=True
+    ))
+    assert rdm.shape == (chain.mtd_fft_length, chain.pc_fft_length)
+    v, r = np.unravel_index(np.argmax(rdm), rdm.shape)
+    assert (v, r) == (k_dop, d)
