@@ -694,6 +694,15 @@ def cmd_stream(args) -> int:
         from radar_signal_process_tpu.ops.dbf import load_dbf_coeffs
 
         coeffs = load_dbf_coeffs(args.dbf_coeffs, profile.n_channels)
+    mesh = None
+    if getattr(args, "mesh", None):
+        import jax
+
+        from radar_signal_process_tpu.parallel import make_mesh
+
+        dp, sp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(("dp", "sp"), shape=(dp, sp),
+                         devices=jax.devices()[: dp * sp])
     pipe = StreamingPipeline(
         reader_cls(args.input, profile),
         profile,
@@ -702,6 +711,7 @@ def cmd_stream(args) -> int:
         clutter_v=args.clutter_v,
         max_detections=args.max_detections,
         dbf_coeffs=coeffs,
+        mesh=mesh,
     )
     frames_out = []
     t_prev = _time.perf_counter()
@@ -1106,6 +1116,10 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--clutter-v", type=float, default=3.0)
     st.add_argument("--max-detections", type=int, default=16)
     st.add_argument("--dbf-coeffs", default=None)
+    st.add_argument("--mesh", default=None, metavar="DPxSP",
+                    help="stream over a (dp, sp) device mesh with the "
+                         "compressed previous frame carried on device "
+                         "(parallel.make_sharded_stream), e.g. 2x4")
     st.add_argument("--native", action=argparse.BooleanOptionalAction, default=True)
     st.set_defaults(fn=cmd_stream)
 

@@ -54,6 +54,7 @@ class StreamingPipeline:
         max_detections: int = 64,
         dbf_coeffs: np.ndarray | None = None,
         use_host_parallel: bool | None = None,
+        mesh=None,
     ):
         self.reader = reader
         self.profile = profile
@@ -70,7 +71,65 @@ class StreamingPipeline:
         if use_host_parallel is None:
             use_host_parallel = jax.default_backend() == "cpu"
         n_clutter = clutter_cells(profile, profile.prt_per_frame, clutter_v)
-        if use_host_parallel:
+        if mesh is not None:
+            # mesh streaming: dp over beams, sp slow-time -> range, with the
+            # compressed previous frame carried ON DEVICE between windows
+            # (parallel.make_sharded_stream) — the steady-state PC-reuse
+            # structure of the host chain, expressed as sharded executables.
+            import functools
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from radar_signal_process_tpu.ops.measure import extract_detections
+            from radar_signal_process_tpu.parallel.sharding import (
+                make_sharded_stream,
+            )
+
+            init, step_fn = make_sharded_stream(
+                profile, mesh, n_clutter=n_clutter, win_size=win_size,
+                renotch_divisor=20,
+            )
+            in_sh = NamedSharding(mesh, P("dp", "sp", None))
+            dp = mesh.shape["dp"]
+            extract = jax.jit(functools.partial(
+                extract_detections, max_detections=max_detections
+            ))
+            state: dict = {}
+            carry_flags: dict = {}
+
+            def _shard(x):
+                # pad the leading axis (beams, or raw channels when no DBF
+                # coefficients were given) to the dp extent
+                x = jnp.asarray(x, jnp.complex64)
+                pad = (-x.shape[0]) % dp
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)],
+                        axis=0,
+                    )
+                return jax.device_put(x, in_sh)
+
+            def _process(a, b, frame_idx=None):
+                # consecutive frame_idx reuses the carried compressed frame;
+                # anything else recompresses (stream restart)
+                n_real = np.shape(b)[0]
+                pc = state.pop(frame_idx, None) if frame_idx is not None else None
+                if pc is None:
+                    pc = init(_shard(a))
+                pc_next, rdms, flags, _ = step_fn(pc, _shard(b))
+                state.clear()
+                if frame_idx is not None:
+                    state[frame_idx + 1] = pc_next
+                carry_flags["flags"] = flags[:n_real]
+                return rdms[:n_real]
+
+            def detect_stack(rdms):
+                flags = carry_flags.pop("flags")
+                return flags, extract(flags, rdms)
+
+            self._process = _process
+            self._detect_stack = detect_stack
+        elif use_host_parallel:
             import functools
 
             from radar_signal_process_tpu.models.host_parallel import (

@@ -307,6 +307,109 @@ def make_sharded_pipeline(
     return run
 
 
+def make_sharded_stream(
+    profile: RadarProfile,
+    mesh: Mesh,
+    cfg: CFARConfig | None = None,
+    n_clutter: int = 14,
+    win_size: int = 4,
+    dp_axis: str = "dp",
+    sp_axis: str = "sp",
+    segmented: bool = True,
+    renotch_divisor: int | None = None,
+):
+    """Steady-state streaming on a mesh with on-device per-frame PC reuse.
+
+    The frame axis is the reference's streaming axis (``main_cfar.m:82``;
+    ``bin_to_mat_xzr.m:57``): in steady state each doubled-CPI window spans
+    frames N and N+1, so every frame's compressed rows feed TWO windows.
+    The round-3 host-threaded chain exploits that on CPU
+    (``models.host_parallel``); this is the mesh form: the compressed,
+    range-sharded frame is the jit-carried state, each step compresses ONLY
+    the arriving frame (sp-sharded slow time -> ``all_to_all`` -> range),
+    concatenates it with the carried previous frame inside the sharded
+    executable, and runs the ``win_size`` Doppler/notch/halo-CFAR slices.
+
+    Returns ``(init, step)``:
+
+    * ``init(frame) -> pc_state`` — compress the first frame (the stream
+      prologue);
+    * ``step(pc_state, frame_next) -> (pc_next, rdms, flags, vflags)`` —
+      advance one window; ``rdms``/``flags`` are
+      (n_beams, win_size, n_prt, n_points), bit-identical to the host
+      streaming chain; feed ``pc_next`` back as the next call's state.
+
+    ``frame``: (n_beams, n_prt, n_points) complex, n_beams % dp == 0,
+    n_prt % sp == 0, n_points % sp == 0.
+    """
+    from radar_signal_process_tpu.models.mtd_pipeline import (
+        window_slice_starts,
+    )
+
+    cfg = cfg or profile.cfar
+    pulses = reference_pulses(profile)
+    n_sp = mesh.shape[sp_axis]
+    segments = profile.cfar_segments if segmented else ()
+    if segments and segments[-1][1] != profile.point_prt:
+        segments = ()
+
+    def compress(echo_local: jnp.ndarray) -> jnp.ndarray:
+        pc = segmented_pulse_compression(echo_local, profile, pulses)
+        if n_sp > 1:
+            # slow-time-sharded -> range-sharded (the PC carry layout)
+            pc = lax.all_to_all(pc, sp_axis, split_axis=2, concat_axis=1,
+                                tiled=True)
+        return pc
+
+    def step_local(pc_prev: jnp.ndarray, echo_local: jnp.ndarray):
+        # pc_prev: (beams_local, n_prt, pts_local) range-sharded
+        n_points = echo_local.shape[-1]
+        pc_next = compress(echo_local)
+        n_prt = pc_prev.shape[-2]
+        window_pc = jnp.concatenate([pc_prev, pc_next], axis=-2)
+        starts = window_slice_starts(n_prt, win_size)
+        slices = jnp.stack(
+            [window_pc[..., s : s + n_prt, :] for s in starts], axis=-3
+        )
+        if profile.mtd.mti_lag:
+            from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+            slices = mti_cancel(slices, lag=profile.mtd.mti_lag)
+        window = make_window(profile.mtd.window, n_prt,
+                             profile.mtd.window_beta)
+        rdm = doppler_process(slices, window, shift=profile.mtd.fftshift)
+        if profile.mtd.notch_divisor:
+            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+        rdm_cfar = rdm
+        if renotch_divisor:
+            rdm_cfar = zero_velocity_notch(rdm, divisor=renotch_divisor)
+        flags, vflags = sharded_cascaded_cfar2d(
+            rdm_cfar, cfg, n_clutter, sp_axis, n_points, segments
+        )
+        return pc_next, rdm, flags, vflags
+
+    pc_spec = P(dp_axis, None, sp_axis)
+    out4 = P(dp_axis, None, None, sp_axis)
+    init_mapped = jax.shard_map(
+        compress, mesh=mesh, in_specs=P(dp_axis, sp_axis, None),
+        out_specs=pc_spec, check_vma=False,
+    )
+    step_mapped = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(pc_spec, P(dp_axis, sp_axis, None)),
+        out_specs=(pc_spec, out4, out4, out4),
+        check_vma=False,
+    )
+
+    init = jax.jit(init_mapped)
+
+    @jax.jit
+    def step(pc_state: jnp.ndarray, frame_next: jnp.ndarray):
+        return step_mapped(pc_state, frame_next)
+
+    return init, step
+
+
 def make_sharded_e2e(
     profile: RadarProfile,
     mesh: Mesh,

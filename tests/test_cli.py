@@ -366,15 +366,22 @@ def test_cli_ingest_g1_debug_plots(tmp_path, monkeypatch):
     assert sorted(os.listdir(dbg)) == ["iq_frame_0.png", "iq_frame_1.png"]
 
 
-def test_cli_stream(tmp_path, capsys):
+def test_cli_stream(tmp_path, capsys, monkeypatch):
     """`cli stream` drives the StreamingPipeline: all-beam detections,
     per-frame hit counters and latency stats."""
+    # segments that actually tile the reduced 344-pt range extent (the
+    # sharded path drops non-tiling segment tables; the host path must run
+    # the same split for the mesh comparison below)
+    tinys = dataclasses.replace(
+        TINY, cfar_segments=((0, 24), (24, 104), (104, 344))
+    )
+    monkeypatch.setitem(PROFILES, "TINYS", tinys)
     cap = str(tmp_path / "capture")
-    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames", "4",
+    cli.main(["simulate", "--output", cap, "--profile", "TINYS", "--frames", "4",
               "--velocity", "4.0", "--range", "60", "--scr", "25"])
     capsys.readouterr()
     assert cli.main([
-        "stream", "--input", cap, "--profile", "TINY", "--frames", "4",
+        "stream", "--input", cap, "--profile", "TINYS", "--frames", "4",
         "--win-size", "2",
     ]) == 0
     out = json.loads(capsys.readouterr().out)
@@ -384,6 +391,18 @@ def test_cli_stream(tmp_path, capsys):
     for f in out["frames"]:
         assert f["cfar_hits"] > 0
         assert len(f["detections_per_beam"]) == 2  # per-beam counts
+
+    # --mesh: dp over beams, sp slow-time->range, on-device PC-reuse carry;
+    # the per-frame hit counts match the host streaming path
+    assert cli.main([
+        "stream", "--input", cap, "--profile", "TINYS", "--frames", "4",
+        "--win-size", "2", "--mesh", "2x4",
+    ]) == 0
+    out_mesh = json.loads(capsys.readouterr().out)
+    assert [f["frame"] for f in out_mesh["frames"]] == [0, 1, 2]
+    for fm, fh in zip(out_mesh["frames"], out["frames"]):
+        assert fm["cfar_hits"] == fh["cfar_hits"]
+        assert fm["detections_per_beam"] == fh["detections_per_beam"]
 
 
 def test_cli_mtd_g1_two_beam_mat_contract(tmp_path, monkeypatch):
