@@ -210,6 +210,17 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
              jnp.sum(flags).astype(jnp.float32)]
         )
 
+    @jax.jit
+    def cfar_select_flags_fn(rdm, vflag, rflag):
+        # flags-returning variant for the e2e stream (detection extraction
+        # consumes them on device); the bool materialization is load-bearing
+        # on XLA CPU (CLAUDE.md round-3 notes)
+        flags, _ = segmented_cfar_select(
+            _renotch(rdm), vflag, rflag, segments, cfg, n_clutter,
+            transposed=True,
+        )
+        return flags
+
     def cfar_fn(rdm):
         vflag, rflag = cfar_flags_fn(rdm)
         return cfar_select_sum_fn(rdm, vflag, rflag)
@@ -217,6 +228,7 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
     return dict(
         pc_fn=pc_fn, spec_fn=spec_fn, spec_first_fn=spec_first_fn,
         spec_pair_fn=spec_pair_fn, mag_fn=mag_fn, cfar_fn=cfar_fn,
+        cfar_flags_fn=cfar_flags_fn, cfar_select_flags_fn=cfar_select_flags_fn,
     )
 
 
@@ -668,6 +680,141 @@ def _bench_g0(repeat: int) -> float:
     return n / (time.perf_counter() - t0)
 
 
+def _bench_e2e_stream(n_windows: int = 6) -> dict:
+    """True end-to-end stream (VERDICT r3 item 6): native .bin ingest + DBF
+    + window chain + all-beam detection as ONE live composition over a
+    synthetic multi-frame G2 capture.
+
+    Structure matches the headline chain (``build_stream_chain``'s
+    dependency-aware pipelined queue with per-frame PC reuse) with two
+    additions: frames enter LAZILY from a background ingest thread (native
+    .bin parse + on-device DBF einsum — ``pipelined_window_map`` blocks
+    only the PC job of a not-yet-ingested frame), and every work item ends
+    with the real per-slice detection extraction on device.  Reports
+    windows/s plus the fraction of queue time spent waiting on ingest
+    (``e2e_ingest_wait_pct`` ~ 0 means ingest fully hides under compute).
+    """
+    import functools
+    import shutil
+    import tempfile
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.config import CFARConfig, G2_PROFILE
+    from radar_signal_process_tpu.ingest import G2FrameReader, native_available
+    from radar_signal_process_tpu.models.host_parallel import (
+        pipelined_window_map,
+    )
+    from radar_signal_process_tpu.models.mtd_pipeline import (
+        window_slice_starts,
+    )
+    from radar_signal_process_tpu.ops.dbf import apply_dbf
+    from radar_signal_process_tpu.ops.measure import extract_detections
+    from radar_signal_process_tpu.sim.packets_synth import write_g2_capture
+
+    if native_available():
+        from radar_signal_process_tpu.ingest.native_loader import (
+            NativeG2FrameReader as Reader,
+        )
+    else:
+        Reader = G2FrameReader
+
+    prof = G2_PROFILE
+    cfg = CFARConfig(threshold=5.0)
+    n_clutter = 14
+    rng = np.random.default_rng(5)
+    n_frames = n_windows + 1
+    # DDC capture (16-ch int16 payloads, the reference's stage-1 input);
+    # the DBF matmul runs on device inside the ingest getter
+    shape = (n_frames, prof.prt_per_frame, prof.point_prt, prof.n_channels)
+    iq = (rng.integers(-2000, 2000, size=shape).astype(np.float32)
+          + 1j * rng.integers(-2000, 2000, size=shape).astype(np.float32))
+    coeffs = jnp.asarray(
+        (rng.standard_normal((prof.n_beams, prof.n_channels))
+         + 1j * rng.standard_normal((prof.n_beams, prof.n_channels)))
+        .astype(np.complex64)
+    )
+    tmp = tempfile.mkdtemp(prefix="rsp_bench_e2e_stream_")
+    try:
+        write_g2_capture(tmp, iq, prof, data_type=1)
+
+        fns = _make_cpu_stage_fns(prof, cfg, n_clutter)
+        starts = window_slice_starts(prof.prt_per_frame, 4)
+        spec_first, spec_pair = fns["spec_first_fn"], fns["spec_pair_fn"]
+        mag_fn = fns["mag_fn"]
+        cfar_flags_fn = fns["cfar_flags_fn"]
+        cfar_select_flags_fn = fns["cfar_select_flags_fn"]
+        extract = jax.jit(
+            functools.partial(extract_detections, max_detections=16)
+        )
+        n_threads = max(1, min(os.cpu_count() or 1, prof.n_beams))
+        n_chunks = max(n_threads, -(-prof.n_beams // 2))
+
+        def item(acc, pc_a, pc_b, c, b, w, s, start):
+            if start == 0:
+                spec = spec_first(pc_a, jnp.int32(b))
+            else:
+                spec = spec_pair(pc_a, pc_b, jnp.int32(b), start)
+            rdm = mag_fn(spec)
+            vflag, rflag = cfar_flags_fn(rdm)
+            flags = cfar_select_flags_fn(rdm, vflag, rflag)
+            dets = extract(flags, rdm)
+            n_hits = int(np.asarray(dets.valid).sum())  # tiny fetch; awaits
+            return n_hits if acc is None else acc + n_hits
+
+        def run_once():
+            reader = Reader(tmp, prof)
+            slots = [None] * n_frames
+            events = [threading.Event() for _ in range(n_frames)]
+            wait_s = [0.0]
+            wait_lock = threading.Lock()
+
+            def produce():
+                for f in range(n_frames):
+                    res = reader.read_frame(f)
+                    chans = jnp.asarray(res.iq, dtype=jnp.complex64)
+                    beams = jnp.moveaxis(apply_dbf(chans, coeffs), -1, 0)
+                    slots[f] = beams
+                    events[f].set()
+
+            def getter(f):
+                def get():
+                    t0 = time.perf_counter()
+                    events[f].wait()
+                    dt = time.perf_counter() - t0
+                    with wait_lock:
+                        wait_s[0] += dt
+                    return slots[f]
+
+                return get
+
+            producer = threading.Thread(target=produce, daemon=True)
+            t0 = time.perf_counter()
+            producer.start()
+            out = pipelined_window_map(
+                [getter(f) for f in range(n_frames)], fns["pc_fn"], starts,
+                item, n_threads, n_chunks=n_chunks,
+            )
+            total = time.perf_counter() - t0
+            producer.join()
+            hits = sum(o for o in out if o is not None)
+            return total / n_windows, wait_s[0], total, hits
+
+        run_once()  # compile + warm every executable
+        per_win, wait, total, hits = run_once()
+        return {
+            "e2e_stream_frames_per_s": round(1.0 / per_win, 3),
+            "e2e_stream_window_ms": round(per_win * 1e3, 1),
+            "e2e_ingest_wait_pct": round(
+                100.0 * wait / max(n_threads * total, 1e-9), 1
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _bench_ingest(n_frames: int = 4) -> float:
     """Native C++ G2 capture parse throughput (MB/s, DDC int16 payloads)."""
     import shutil
@@ -817,6 +964,10 @@ def main() -> int:
             extras["ingest_mb_per_s"] = round(_bench_ingest(), 1)
         except Exception as e:
             extras["ingest_error"] = str(e)[:120]
+        try:
+            extras.update(_bench_e2e_stream())
+        except Exception as e:
+            extras["e2e_stream_error"] = str(e)[:120]
 
     if args.oracle_seconds is not None:
         oracle_slice_s = args.oracle_seconds

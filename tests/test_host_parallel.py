@@ -167,3 +167,113 @@ def test_cpu_stream_processor_probe_rejects_stale_cache(rng):
     stream(a, b, frame_idx=0)           # caches PC(b) under index 1
     got = stream(c, d, frame_idx=1)     # c != b: probe must reject cache
     np.testing.assert_array_equal(got, ref(c, d))
+
+
+def test_cpu_stream_detector_matches_composed_path(rng):
+    """The fused stream detector (CFAR + extraction in the work queue)
+    reproduces the composed processor + detect + extract path exactly."""
+    import functools
+
+    import jax
+
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_detector,
+        make_cpu_stream_processor,
+    )
+    from radar_signal_process_tpu.ops.measure import extract_detections
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+        .astype(np.complex64)
+        for _ in range(3)
+    ]
+    n_clutter = 4
+    det = make_cpu_stream_detector(prof, 4, n_clutter, max_detections=8)
+    proc = make_cpu_stream_processor(prof, 4)
+    flags_fn = make_cpu_flags(prof, n_clutter)
+    extract = jax.jit(functools.partial(extract_detections, max_detections=8))
+
+    for w in range(2):
+        rdms, flags, dets = det(frames[w], frames[w + 1], frame_idx=w)
+        want_rdm = proc(frames[w], frames[w + 1], frame_idx=w)
+        np.testing.assert_array_equal(rdms, want_rdm)
+        want_flags, _ = flags_fn(want_rdm)
+        np.testing.assert_array_equal(flags, want_flags)
+        want_dets = extract(jnp.asarray(want_flags), jnp.asarray(want_rdm))
+        for b in range(prof.n_beams):
+            for s in range(4):
+                got = {
+                    (int(v), int(r), float(a))
+                    for v, r, a, ok in zip(
+                        dets.v_idx[b, s], dets.r_idx[b, s],
+                        dets.amplitude[b, s], dets.valid[b, s],
+                    )
+                    if ok
+                }
+                wv = np.asarray(want_dets.valid)[b, s]
+                want = {
+                    (int(v), int(r), float(a))
+                    for v, r, a in zip(
+                        np.asarray(want_dets.v_idx)[b, s][wv],
+                        np.asarray(want_dets.r_idx)[b, s][wv],
+                        np.asarray(want_dets.amplitude)[b, s][wv],
+                    )
+                }
+                assert got == want, (b, s)
+
+
+def test_pipelined_window_map_lazy_frames(rng):
+    """Callable (lazily-ingested) frame entries produce the same results as
+    materialized arrays, and each getter is invoked exactly once."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        pipelined_window_map,
+    )
+    from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
+    from radar_signal_process_tpu.ops.pulse_compression import (
+        segmented_pulse_compression,
+    )
+    from radar_signal_process_tpu.ops.waveforms import reference_pulses
+
+    import jax
+    import jax.numpy as jnp
+
+    prof = SMALL
+    pulses = reference_pulses(prof)
+    pc_fn = jax.jit(lambda b: segmented_pulse_compression(b, prof, pulses))
+    starts = window_slice_starts(prof.prt_per_frame, 2)
+    frames = [
+        jnp.asarray(
+            (rng.standard_normal((3, prof.prt_per_frame, prof.point_prt))
+             + 1j * rng.standard_normal(
+                 (3, prof.prt_per_frame, prof.point_prt))).astype(np.complex64)
+        )
+        for _ in range(4)
+    ]
+
+    def item(acc, pc_a, pc_b, c, b, w, s, start):
+        if start == 0:
+            v = jnp.sum(jnp.abs(pc_a[b]))
+        else:
+            v = jnp.sum(jnp.abs(pc_a[b])) + jnp.sum(jnp.abs(pc_b[b]))
+        v = float(v)
+        return v if acc is None else acc + v
+
+    want = pipelined_window_map(frames, pc_fn, starts, item, 2)
+    calls = [0] * len(frames)
+
+    def getter(f):
+        def get():
+            calls[f] += 1
+            return frames[f]
+
+        return get
+
+    got = pipelined_window_map(
+        [getter(f) for f in range(len(frames))], pc_fn, starts, item, 2
+    )
+    assert calls == [1] * len(frames)
+    total_w = sum(o for o in want if o is not None)
+    total_g = sum(o for o in got if o is not None)
+    np.testing.assert_allclose(total_g, total_w, rtol=1e-6)
