@@ -528,6 +528,10 @@ def make_pipeline_parallel(
     * 2 stages: [pulse compression | Doppler + notch + CFAR]
     * 3 stages: [pulse compression | windowed Doppler transform |
       magnitude + notch + CFAR]
+    * 4 stages: [pulse compression | windowed Doppler transform |
+      magnitude + notch + CFAR flag planes | cascade select] — the CFAR
+      cascade split at its (vflag, rflag) materialization point, the same
+      cut as ``models.detect.make_split_detector``.
 
     Microbatches (beams) flow through the stage ring: each tick every device
     applies its stage to its in-flight microbatch and ``ppermute``s the
@@ -535,84 +539,136 @@ def make_pipeline_parallel(
     the classic 1F schedule with ``n_micro + pp - 1`` ticks, expressed as a
     ``lax.scan`` so XLA sees one compiled loop with one collective per tick.
 
-    Activations stay a uniform ``(n_pulses, n_points)`` complex64 buffer
-    across the ring (the final stage encodes ``rdm + 1j*flags``), so the
-    ppermute link shape is stage-independent.
+    Activations stay a uniform ``(n_act, n_points)`` complex64 buffer across
+    the ring, where ``n_act = max(n_pulses, mtd.fft_length)`` — zero-padded
+    Doppler profiles (the G0 1536 -> 2048-point MTD FFT) carry the padded
+    buffer from stage 0, so the ppermute link shape is stage-independent.
+    Flag planes ride the imaginary part (stage 3 encodes
+    ``vflag + 2*rflag``; the final stage encodes ``rdm + 1j*flags``).
 
     Returns ``run(echo) -> (rdm, flags)`` for ``echo`` of shape
     ``(n_micro, n_pulses, n_points)``; results are bit-identical to the
     unsharded ``mtd_produce`` + ``segmented_cfar`` chain *with the FFT
-    Doppler algorithm* (both depths pin ``use_matmul=False``; on TPU the
+    Doppler algorithm* (all depths pin ``use_matmul=False``; on TPU the
     unsharded chain auto-selects the matmul-DFT, which differs at ULP
     level from any FFT implementation).
     """
     cfg = cfg or profile.cfar
     pulses = reference_pulses(profile)
     n_pp = mesh.shape[pp_axis]
-    if n_pp not in (2, 3):
-        raise ValueError(f"pipeline depth must be 2 or 3, got {n_pp}")
-    # fail loud on profile options the stage functions do not thread through
-    # (mtd_produce honors these; silently diverging from the documented
-    # bit-identity contract would be worse than refusing)
-    if profile.mtd.fft_length:
-        raise ValueError("make_pipeline_parallel does not support mtd.fft_length")
-    if profile.mtd.mti_lag:
-        raise ValueError("make_pipeline_parallel does not support mtd.mti_lag")
-    if not profile.mtd.fftshift:
-        raise ValueError(
-            "make_pipeline_parallel requires fftshift=True (the CFAR stage "
-            "re-notches with the shifted-spectrum convention)"
-        )
+    if n_pp not in (2, 3, 4):
+        raise ValueError(f"pipeline depth must be 2, 3 or 4, got {n_pp}")
     segments = profile.cfar_segments if segmented else ()
     if segments and segments[-1][1] != profile.point_prt:
         segments = ()
 
-    from radar_signal_process_tpu.ops.cfar import segmented_cfar
-
-    def s_pc(x):
-        return segmented_pulse_compression(x, profile, pulses)
-
-    def _window(n_pulses):
-        return make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
-
-    def s_doppler_spec(x):
-        # windowed (shifted) Doppler spectrum, complex — magnitude deferred.
-        # Window dtype follows the input (as doppler_process does) so the
-        # pp=3 path stays bit-identical to pp=2 for complex128 inputs too.
-        w = jnp.asarray(_window(x.shape[-2]), dtype=jnp.real(x).dtype)[:, None]
-        spec = jnp.fft.fft(x * w, axis=-2)
-        if profile.mtd.fftshift:
-            spec = jnp.fft.fftshift(spec, axes=-2)
-        return spec
-
-    def _cfar_encode(rdm):
-        if profile.mtd.notch_divisor:
-            rdm = zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
-        segs = segments or ((0, rdm.shape[-1]),)
-        flags, _ = segmented_cfar(rdm, segs, cfg, n_clutter)
-        return rdm + 1j * flags.astype(jnp.float32)
-
-    def s_rdm_cfar(x):          # 2-stage tail: PC activation in
-        # pin the FFT algorithm (not the TPU matmul-DFT auto-path) so both
-        # pipeline depths produce identical bits on every backend
-        w = _window(x.shape[-2])
-        rdm = doppler_process(x, w, shift=profile.mtd.fftshift,
-                              use_matmul=False)
-        return _cfar_encode(rdm)
-
-    def s_mag_cfar(x):          # 3-stage tail: complex spectrum in
-        return _cfar_encode(jnp.abs(x))
-
-    stages = (
-        [s_pc, s_rdm_cfar] if n_pp == 2 else [s_pc, s_doppler_spec, s_mag_cfar]
+    from radar_signal_process_tpu.ops.cfar import (
+        segmented_cfar,
+        segmented_cfar_flags,
+        segmented_cfar_select,
     )
+    from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+    def _build_stages(n_pulses: int):
+        """Stage closures for a given (static) echo slow-time length."""
+        n_fft = profile.mtd.fft_length or n_pulses
+        if n_fft < n_pulses:
+            raise ValueError(
+                f"mtd.fft_length {n_fft} < n_pulses {n_pulses}"
+            )
+        n_act = n_fft
+        window = make_window(
+            profile.mtd.window, n_pulses, profile.mtd.window_beta
+        )
+
+        def _pad_rows(x):
+            if x.shape[-2] < n_act:
+                return jnp.pad(x, ((0, n_act - x.shape[-2]), (0, 0)))
+            return x
+
+        def s_pc(x):
+            # zero pad rows compress to zero, so the padded buffer passes
+            # through the segmented compressor unchanged in the real rows
+            return segmented_pulse_compression(x, profile, pulses)
+
+        def _spec(x):
+            # windowed Doppler spectrum of the real rows, complex.
+            # Window dtype follows the input (as doppler_process does) so
+            # deeper depths stay bit-identical to pp=2 for complex128 too.
+            pc = x[..., :n_pulses, :]
+            if profile.mtd.mti_lag:
+                pc = mti_cancel(pc, lag=profile.mtd.mti_lag)
+            w = jnp.asarray(window, dtype=jnp.real(x).dtype)[:, None]
+            spec = jnp.fft.fft(pc * w, n=n_fft, axis=-2)
+            if profile.mtd.fftshift:
+                spec = jnp.fft.fftshift(spec, axes=-2)
+            return spec
+
+        def _notched(rdm):
+            if profile.mtd.notch_divisor:
+                rdm = zero_velocity_notch(
+                    rdm, divisor=profile.mtd.notch_divisor
+                )
+            return rdm
+
+        def _segs(rdm):
+            return segments or ((0, rdm.shape[-1]),)
+
+        def s_rdm_cfar(x):      # 2-stage tail: PC activation in
+            # pin the FFT algorithm (not the TPU matmul-DFT auto-path) so
+            # all pipeline depths produce identical bits on every backend
+            rdm = _notched(jnp.abs(_spec(x)))
+            flags, _ = segmented_cfar(rdm, _segs(rdm), cfg, n_clutter)
+            return rdm + 1j * flags.astype(jnp.float32)
+
+        def s_doppler_spec(x):
+            return _pad_rows(_spec(x))
+
+        def s_mag_cfar(x):      # 3-stage tail: complex spectrum in
+            rdm = _notched(jnp.abs(x))
+            flags, _ = segmented_cfar(rdm, _segs(rdm), cfg, n_clutter)
+            return rdm + 1j * flags.astype(jnp.float32)
+
+        def s_mag_flags(x):     # 4-stage: flag planes ride the imag part
+            rdm = _notched(jnp.abs(x))
+            vflag, rflag = segmented_cfar_flags(
+                rdm, _segs(rdm), cfg, n_clutter
+            )
+            enc = vflag.astype(jnp.float32) + 2.0 * rflag.astype(jnp.float32)
+            lo = n_clutter + 1
+            enc_full = jnp.zeros(rdm.shape, jnp.float32)
+            enc_full = jax.lax.dynamic_update_slice_in_dim(
+                enc_full, enc, lo, axis=-2
+            )
+            return rdm + 1j * enc_full
+
+        def s_select(x):        # 4-stage tail: resolve cascade winners
+            rdm = jnp.real(x)
+            enc = jnp.imag(x)
+            lo, hi = n_clutter + 1, rdm.shape[-2] - n_clutter
+            enc_used = enc[..., lo:hi, :]
+            vflag = jnp.mod(enc_used, 2.0) >= 0.5
+            rflag = enc_used >= 1.5
+            flags, _ = segmented_cfar_select(
+                rdm, vflag, rflag, _segs(rdm), cfg, n_clutter
+            )
+            return rdm + 1j * flags.astype(jnp.float32)
+
+        if n_pp == 2:
+            stages = [s_pc, s_rdm_cfar]
+        elif n_pp == 3:
+            stages = [s_pc, s_doppler_spec, s_mag_cfar]
+        else:
+            stages = [s_pc, s_doppler_spec, s_mag_flags, s_select]
+        return stages, n_act
 
     def pipe(echo):
-        # echo: (n_micro, n_pulses, n_points) — replicated; stage 0 ingests
+        # echo: (n_micro, n_act, n_points) — replicated; stage 0 ingests
         n_micro = echo.shape[0]
         ticks = n_micro + n_pp - 1
         stage = lax.axis_index(pp_axis)
         to_next = [(i, (i + 1) % n_pp) for i in range(n_pp)]
+        stages = pipe.stages
 
         def stage_fn(x):
             return lax.switch(stage, stages, x)
@@ -629,7 +685,7 @@ def make_pipeline_parallel(
 
         buf0 = jnp.where(stage == 0, echo[0], jnp.zeros_like(echo[0]))
         _, ys = lax.scan(body, buf0, xs)
-        return ys[None]          # (1, ticks, n_pulses, n_points) per stage
+        return ys[None]          # (1, ticks, n_act, n_points) per stage
 
     mapped = jax.shard_map(
         pipe,
@@ -641,6 +697,12 @@ def make_pipeline_parallel(
 
     @jax.jit
     def run(echo: jnp.ndarray):
+        stages, n_act = _build_stages(echo.shape[-2])
+        pipe.stages = stages
+        if echo.shape[-2] < n_act:
+            echo = jnp.pad(
+                echo, ((0, 0), (0, n_act - echo.shape[-2]), (0, 0))
+            )
         ys = mapped(echo)
         out = ys[-1, n_pp - 1 : n_pp - 1 + echo.shape[0]]  # drained tail
         return jnp.real(out), jnp.imag(out) > 0.5

@@ -233,9 +233,10 @@ def test_sharded_e2e_drops_stale_segments(rng):
     np.testing.assert_array_equal(np.asarray(flags_s), np.asarray(flags_u))
 
 
-@pytest.mark.parametrize("depth", [2, 3])
+@pytest.mark.parametrize("depth", [2, 3, 4])
 def test_pipeline_parallel_matches_unsharded(rng, depth):
-    """GPipe-style stage pipeline == unsharded chain, bit-exact, both depths."""
+    """GPipe-style stage pipeline == unsharded chain, bit-exact, all depths
+    (depth 4 splits the CFAR cascade at its flag-plane materialization)."""
     import dataclasses
 
     from radar_signal_process_tpu.parallel.sharding import make_pipeline_parallel
@@ -414,3 +415,65 @@ def test_sharded_stream_matches_host_stream(rng, mesh):
         want_flags, want_vflags = flags_fn(want_rdm)
         np.testing.assert_array_equal(np.asarray(vflags_s), want_vflags)
         np.testing.assert_array_equal(np.asarray(flags_s), want_flags)
+
+
+@pytest.mark.parametrize("depth", [2, 4])
+def test_pipeline_parallel_g0_geometry(rng, depth):
+    """The pipeline ring supports the G0 profile class (zero-padded
+    unshifted Doppler FFT, VERDICT r4 item 9): bit-equal to the unsharded
+    mtd_produce + whole-width cascade."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import G0_PROFILE, MTDConfig
+    from radar_signal_process_tpu.ops.cfar import segmented_cfar
+    from radar_signal_process_tpu.parallel.sharding import make_pipeline_parallel
+
+    prof = dataclasses.replace(
+        G0_PROFILE, prt_per_frame=48, point_prt=160,
+        segment_points=(32, 128),
+        mtd=MTDConfig(window="hamming", notch_divisor=0, fft_length=64,
+                      fftshift=False),
+    )
+    cfg = CFARConfig(threshold=5.0)
+    mesh = make_mesh(("pp",), shape=(depth,), devices=jax.devices()[:depth])
+    run = make_pipeline_parallel(prof, mesh, cfg, n_clutter=3)
+
+    echo = (rng.standard_normal((5, 48, prof.point_prt))
+            + 1j * rng.standard_normal((5, 48, prof.point_prt))
+            ).astype(np.complex64)
+    rdm_pp, flags_pp = run(jnp.asarray(echo))
+    assert rdm_pp.shape == (5, 64, prof.point_prt)
+
+    rdm_u = mtd_produce(jnp.asarray(echo), prof, use_pallas_rdm=False)
+    flags_u, _ = segmented_cfar(rdm_u, ((0, prof.point_prt),), cfg, 3)
+    np.testing.assert_array_equal(np.asarray(rdm_pp), np.asarray(rdm_u))
+    np.testing.assert_array_equal(np.asarray(flags_pp), np.asarray(flags_u))
+
+
+def test_pipeline_parallel_mti_profile(rng):
+    """mtd.mti_lag (previously fail-loud) threads through the ring."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import MTDConfig
+    from radar_signal_process_tpu.ops.cfar import segmented_cfar
+    from radar_signal_process_tpu.parallel.sharding import make_pipeline_parallel
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        mtd=MTDConfig(window="kaiser", window_beta=8.0, notch_divisor=150,
+                      fftshift=True, mti_lag=5),
+    )
+    cfg = CFARConfig(threshold=5.0)
+    mesh = make_mesh(("pp",), shape=(3,), devices=jax.devices()[:3])
+    run = make_pipeline_parallel(prof, mesh, cfg, n_clutter=4)
+
+    echo = (rng.standard_normal((4, 32, prof.point_prt))
+            + 1j * rng.standard_normal((4, 32, prof.point_prt))
+            ).astype(np.complex64)
+    rdm_pp, flags_pp = run(jnp.asarray(echo))
+    rdm_u = mtd_produce(jnp.asarray(echo), prof, use_pallas_rdm=False)
+    flags_u, _ = segmented_cfar(rdm_u, prof.cfar_segments, cfg, 4)
+    np.testing.assert_array_equal(np.asarray(rdm_pp), np.asarray(rdm_u))
+    np.testing.assert_array_equal(np.asarray(flags_pp), np.asarray(flags_u))
