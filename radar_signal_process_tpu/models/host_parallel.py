@@ -184,6 +184,15 @@ def pipelined_window_map(
 
     def work(t: int) -> None:
         acc = None
+        # Look-ahead: while the ready stack holds enough work to keep every
+        # other worker busy, spend a worker on the next PC job instead —
+        # otherwise all workers drain the stack together and then stall in
+        # a PC-only bubble before new items exist (measured ~9% idle).
+        # The live-chunk cap (~3 frames compressed) stops the look-ahead
+        # from degenerating into compress-everything-first, which would
+        # blow memory and consume chunks cold.
+        pc_cap = 3 * n_chunks
+
         try:
             while True:
                 with cond:
@@ -192,9 +201,14 @@ def pipelined_window_map(
                         if errors:       # abort fast; partial results die
                             out[t] = acc
                             return
-                        if ready:
+                        have_pc = (
+                            next_pc[0] < len(pc_jobs) and len(pcs) < pc_cap
+                        )
+                        if ready and not (
+                            have_pc and len(ready) > 2 * n_threads
+                        ):
                             job = ("item", ready.pop())
-                        elif next_pc[0] < len(pc_jobs):
+                        elif have_pc:
                             job = ("pc", pc_jobs[next_pc[0]])
                             next_pc[0] += 1
                         elif items_left[0] == 0:
