@@ -662,43 +662,49 @@ def make_pipeline_parallel(
             stages = [s_pc, s_doppler_spec, s_mag_flags, s_select]
         return stages, n_act
 
-    def pipe(echo):
-        # echo: (n_micro, n_act, n_points) — replicated; stage 0 ingests
-        n_micro = echo.shape[0]
-        ticks = n_micro + n_pp - 1
-        stage = lax.axis_index(pp_axis)
-        to_next = [(i, (i + 1) % n_pp) for i in range(n_pp)]
-        stages = pipe.stages
+    import functools
 
-        def stage_fn(x):
-            return lax.switch(stage, stages, x)
+    @functools.lru_cache(maxsize=None)
+    def _make_mapped(n_pulses: int):
+        """shard_map'ed ring for one (static) echo slow-time length."""
+        stages, n_act = _build_stages(n_pulses)
 
-        # xs[t] is what stage 0 ingests for tick t+1 (tick 0 uses echo[0])
-        pad = jnp.zeros((n_pp - 1,) + echo.shape[1:], echo.dtype)
-        xs = jnp.concatenate([echo[1:], pad, pad[:1]], axis=0)[:ticks]
+        def pipe(echo):
+            # echo: (n_micro, n_act, n_points) — replicated; stage 0 ingests
+            n_micro = echo.shape[0]
+            ticks = n_micro + n_pp - 1
+            stage = lax.axis_index(pp_axis)
+            to_next = [(i, (i + 1) % n_pp) for i in range(n_pp)]
 
-        def body(buf, x_t):
-            y = stage_fn(buf)
-            recv = lax.ppermute(y, pp_axis, to_next)
-            buf_next = jnp.where(stage == 0, x_t, recv)
-            return buf_next, y
+            def stage_fn(x):
+                return lax.switch(stage, stages, x)
 
-        buf0 = jnp.where(stage == 0, echo[0], jnp.zeros_like(echo[0]))
-        _, ys = lax.scan(body, buf0, xs)
-        return ys[None]          # (1, ticks, n_act, n_points) per stage
+            # xs[t] is what stage 0 ingests for tick t+1 (tick 0: echo[0])
+            pad = jnp.zeros((n_pp - 1,) + echo.shape[1:], echo.dtype)
+            xs = jnp.concatenate([echo[1:], pad, pad[:1]], axis=0)[:ticks]
 
-    mapped = jax.shard_map(
-        pipe,
-        mesh=mesh,
-        in_specs=P(),            # replicated input
-        out_specs=P(pp_axis),    # (n_pp, ticks, ...) stacked by stage
-        check_vma=False,
-    )
+            def body(buf, x_t):
+                y = stage_fn(buf)
+                recv = lax.ppermute(y, pp_axis, to_next)
+                buf_next = jnp.where(stage == 0, x_t, recv)
+                return buf_next, y
+
+            buf0 = jnp.where(stage == 0, echo[0], jnp.zeros_like(echo[0]))
+            _, ys = lax.scan(body, buf0, xs)
+            return ys[None]      # (1, ticks, n_act, n_points) per stage
+
+        mapped = jax.shard_map(
+            pipe,
+            mesh=mesh,
+            in_specs=P(),            # replicated input
+            out_specs=P(pp_axis),    # (n_pp, ticks, ...) stacked by stage
+            check_vma=False,
+        )
+        return mapped, n_act
 
     @jax.jit
     def run(echo: jnp.ndarray):
-        stages, n_act = _build_stages(echo.shape[-2])
-        pipe.stages = stages
+        mapped, n_act = _make_mapped(echo.shape[-2])
         if echo.shape[-2] < n_act:
             echo = jnp.pad(
                 echo, ((0, 0), (0, n_act - echo.shape[-2]), (0, 0))
