@@ -129,7 +129,9 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
     import jax
     import jax.numpy as jnp
 
-    from radar_signal_process_tpu.config import matlab_round
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_stream_stage_fns,
+    )
     from radar_signal_process_tpu.ops.cfar import (
         segmented_cfar_flags,
         segmented_cfar_select,
@@ -141,52 +143,25 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
     from radar_signal_process_tpu.ops.waveforms import reference_pulses
     from radar_signal_process_tpu.ops.windows import make_window
 
-    pulses = reference_pulses(prof)
-    window = make_window(prof.mtd.window, prof.prt_per_frame,
-                         prof.mtd.window_beta)
     n_cpi = prof.prt_per_frame
+    # the PC / range-major-spectrum / magnitude stages are the SHARED
+    # definitions the production stream detector uses (one copy of the
+    # bit-parity-critical math; models.host_parallel)
+    stage = make_stream_stage_fns(prof)
+    spec_first_fn, spec_pair_fn = stage["spec_first_fn"], stage["spec_pair_fn"]
+    mag_fn, pc_fn = stage["mag_fn"], stage["pc_fn"]
+
+    # two-phase (non-streaming) slice form: beam index traced, CPI-slice
+    # start static — the window slice and the Doppler transform live in ONE
+    # executable, so no large CPI slice is ever materialized eagerly
+    window = make_window(prof.mtd.window, n_cpi, prof.mtd.window_beta)
     w_col = jnp.asarray(window, jnp.float32)[:, None]
-    shift_idx = np.fft.fftshift(np.arange(n_cpi))
-    hw = matlab_round(n_cpi / prof.mtd.notch_divisor)
-    center = matlab_round(n_cpi / 2) - 1
-    # index-comparison form (same as zero_velocity_notch): a slice
-    # keep[center-hw:...] would silently wrap to the tail if a profile
-    # made center - hw negative
-    idx = np.arange(n_cpi)
-    keep = (~((idx >= center - hw) & (idx <= center + hw))).astype(np.float32)
-    keep_row = jnp.asarray(keep)[None, :]
 
-    @jax.jit
-    def pc_fn(beams):                                # (b, n_rows, n_pts)
-        return segmented_pulse_compression(beams, prof, pulses)
-
-    # beam index traced, CPI-slice start static: the window slice and the
-    # Doppler transform live in ONE executable, so no large CPI slice is
-    # ever materialized eagerly (measured ~940 MB/frame of copies saved)
     @functools.partial(jax.jit, static_argnums=(2,))
     def spec_fn(pc, i, start):                       # -> (n_pts, n_cpi) c64
         sl = jax.lax.dynamic_slice_in_dim(pc, i, 1, axis=0)[0]
         sl = jax.lax.slice_in_dim(sl, start, start + n_cpi, axis=-2)
         return jnp.fft.fft(sl * w_col, axis=0).T
-
-    # streaming forms: the CPI slice spans two per-frame compressed chunks
-    @jax.jit
-    def spec_first_fn(pc_a, i):                      # slice start == 0
-        sl = jax.lax.dynamic_slice_in_dim(pc_a, i, 1, axis=0)[0]
-        return jnp.fft.fft(sl * w_col, axis=0).T
-
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def spec_pair_fn(pc_a, pc_b, i, start):
-        a = jax.lax.dynamic_slice_in_dim(pc_a, i, 1, axis=0)[0]
-        b = jax.lax.dynamic_slice_in_dim(pc_b, i, 1, axis=0)[0]
-        ra = jax.lax.slice_in_dim(a, start, n_cpi, axis=-2)
-        rb = jax.lax.slice_in_dim(b, 0, start, axis=-2)
-        sl = jnp.concatenate([ra, rb], axis=-2)
-        return jnp.fft.fft(sl * w_col, axis=0).T
-
-    @jax.jit
-    def mag_fn(spec_t):                              # shift+|.|+notch
-        return jnp.abs(spec_t[:, shift_idx]) * keep_row
 
     segments = prof.cfar_segments or ((0, prof.point_prt),)
 
@@ -786,7 +761,9 @@ def _bench_e2e_stream(n_windows: int = 6) -> dict:
                     dt = time.perf_counter() - t0
                     with wait_lock:
                         wait_s[0] += dt
-                    return slots[f]
+                    v = slots[f]
+                    slots[f] = None  # hand off; the queue frees it when dead
+                    return v
 
                 return get
 

@@ -50,7 +50,11 @@ def make_g1_validation_chain(
     return chain
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.lru_cache(maxsize=None)
+def _default_chain(profile: RadarProfile):
+    return make_g1_validation_chain(profile)
+
+
 def g1_validation_chain(
     echo: jnp.ndarray, profile: RadarProfile = G1_PROFILE
 ) -> jnp.ndarray:
@@ -59,12 +63,8 @@ def g1_validation_chain(
     The G1 chain differs from G2's ``mtd_produce`` by the range
     re-concatenation step between pulse compression and the Doppler FFT
     (``main.m:206-239``); the notch divisor comes from the profile
-    (``fun_0v_pressing.m`` variants).
+    (``fun_0v_pressing.m`` variants).  Synthesized-pulse convenience form
+    of :func:`make_g1_validation_chain` (one cached jitted chain per
+    profile).
     """
-    pulses = reference_pulses(profile)
-    pc = segmented_pulse_compression(echo, profile, pulses)
-    pc = range_concatenate(pc, G1_RANGE_CONCAT)
-    n_pulses = echo.shape[-2]
-    window = make_window(profile.mtd.window, n_pulses, profile.mtd.window_beta)
-    rdm = doppler_process(pc, window, shift=profile.mtd.fftshift)
-    return zero_velocity_notch(rdm, divisor=profile.mtd.notch_divisor)
+    return _default_chain(profile)(echo)

@@ -179,6 +179,10 @@ def pipelined_window_map(
         for f in range(n_frames)
         for c in range(n_chunks)
     }
+    # raw-frame release: once every chunk of frame f is compressed, the raw
+    # frame is dead — without this a live-ingest stream would retain every
+    # materialized frame for the whole call
+    frame_chunks_left = [n_chunks] * n_frames
     out: list = [None] * n_threads
     errors: List[BaseException] = []
 
@@ -222,6 +226,9 @@ def pipelined_window_map(
                     pc = pc_fn(_frame(f)[lo:hi])
                     with cond:
                         pcs[(f, c)] = pc
+                        frame_chunks_left[f] -= 1
+                        if frame_chunks_left[f] == 0:
+                            frames[f] = None  # raw frame dead once compressed
                         for w in (f - 1, f):
                             if (
                                 0 <= w < n_windows
@@ -459,6 +466,79 @@ def make_cpu_stream_processor(
     return process
 
 
+def make_stream_stage_fns(
+    profile: RadarProfile, stc_curve_db=None, pulses=None
+):
+    """Shared jitted per-item stages of the CPU streaming chains.
+
+    ONE definition of the bit-parity-critical stage math (PC with optional
+    iSTC; range-major windowed Doppler spectrum with optional MTI, for a
+    whole frame or a cross-frame CPI slice; magnitude + fftshift + notch)
+    used by both the benchmark chain (``bench._make_cpu_stage_fns``) and
+    the production stream detector — keeping the chains in lockstep is a
+    standing parity hazard (CLAUDE.md).
+
+    Returns ``dict(pc_fn, spec_first_fn, spec_pair_fn, mag_fn)``:
+
+    * ``pc_fn(beams)``: (b, n_rows, pts) -> compressed, same shape;
+    * ``spec_first_fn(pc_a, b)`` / ``spec_pair_fn(pc_a, pc_b, b, start)``:
+      traced beam index + static slice start -> (pts, n_prt) complex
+      range-major spectrum (the CPI slice never materializes eagerly);
+    * ``mag_fn(spec_t)``: magnitude + fftshift + MTD notch, range-major.
+    """
+    import functools
+
+    pulses = reference_pulses(profile) if pulses is None else pulses
+    n_prt = profile.prt_per_frame
+    window = make_window(profile.mtd.window, n_prt, profile.mtd.window_beta)
+    w_col = jnp.asarray(window)[:, None]
+
+    @jax.jit
+    def pc_fn(beams):                            # (b, n_rows, pts)
+        if profile.mtd.istc and stc_curve_db is not None:
+            from radar_signal_process_tpu.ops.mtd import istc_compensate
+
+            beams = istc_compensate(beams, stc_curve_db)
+        return segmented_pulse_compression(beams, profile, pulses)
+
+    def _spec(sl):
+        # windowed slow-time FFT emitted range-major (internally free)
+        if profile.mtd.mti_lag:
+            from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+            sl = mti_cancel(sl, lag=profile.mtd.mti_lag)
+        w = w_col.astype(jnp.real(sl).dtype)
+        return jnp.matrix_transpose(jnp.fft.fft(sl * w, axis=-2))
+
+    @jax.jit
+    def spec_first_fn(pc_a, b):                  # slice start == 0
+        return _spec(jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0])
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def spec_pair_fn(pc_a, pc_b, b, start):
+        a = jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0]
+        bb = jax.lax.dynamic_slice_in_dim(pc_b, b, 1, axis=0)[0]
+        ra = jax.lax.slice_in_dim(a, start, n_prt, axis=-2)
+        rb = jax.lax.slice_in_dim(bb, 0, start, axis=-2)
+        return _spec(jnp.concatenate([ra, rb], axis=-2))
+
+    @jax.jit
+    def mag_fn(spec_t):                          # (pts, prt) -> notched |.|
+        mag = jnp.abs(spec_t)
+        if profile.mtd.fftshift:
+            mag = mag[:, np.fft.fftshift(np.arange(n_prt))]
+        if profile.mtd.notch_divisor:
+            mag = zero_velocity_notch(
+                mag, divisor=profile.mtd.notch_divisor, velocity_axis=-1
+            )
+        return mag
+
+    return dict(
+        pc_fn=pc_fn, spec_first_fn=spec_first_fn, spec_pair_fn=spec_pair_fn,
+        mag_fn=mag_fn,
+    )
+
+
 def make_cpu_stream_detector(
     profile: RadarProfile,
     win_size: int = 4,
@@ -497,56 +577,13 @@ def make_cpu_stream_detector(
     from radar_signal_process_tpu.ops.measure import extract_detections
 
     cfg = cfg or profile.cfar
-    pulses = reference_pulses(profile) if pulses is None else pulses
-    window = make_window(
-        profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
-    )
     n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
     n_prt = profile.prt_per_frame
     starts = window_slice_starts(n_prt, win_size)
-    w_col = jnp.asarray(window)[:, None]
-
-    @jax.jit
-    def pc_fn(beams):                            # (b, n_prt, pts)
-        if profile.mtd.istc and stc_curve_db is not None:
-            from radar_signal_process_tpu.ops.mtd import istc_compensate
-
-            beams = istc_compensate(beams, stc_curve_db)
-        return segmented_pulse_compression(beams, profile, pulses)
-
-    def _spec(sl):
-        # windowed slow-time FFT emitted range-major (internally free)
-        if profile.mtd.mti_lag:
-            from radar_signal_process_tpu.ops.mtd import mti_cancel
-
-            sl = mti_cancel(sl, lag=profile.mtd.mti_lag)
-        w = w_col.astype(jnp.real(sl).dtype)
-        return jnp.matrix_transpose(jnp.fft.fft(sl * w, axis=-2))
-
-    @jax.jit
-    def spec_first_fn(pc_a, b):                  # slice start == 0
-        return _spec(jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0])
-
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def spec_pair_fn(pc_a, pc_b, b, start):
-        a = jax.lax.dynamic_slice_in_dim(pc_a, b, 1, axis=0)[0]
-        bb = jax.lax.dynamic_slice_in_dim(pc_b, b, 1, axis=0)[0]
-        ra = jax.lax.slice_in_dim(a, start, n_prt, axis=-2)
-        rb = jax.lax.slice_in_dim(bb, 0, start, axis=-2)
-        return _spec(jnp.concatenate([ra, rb], axis=-2))
-
-    @jax.jit
-    def mag_fn(spec_t):                          # (pts, prt) -> notched |.|
-        mag = jnp.abs(spec_t)
-        if profile.mtd.fftshift:
-            mag = mag[:, np.fft.fftshift(np.arange(n_prt))]
-        if profile.mtd.notch_divisor:
-            rdm = zero_velocity_notch(
-                mag, divisor=profile.mtd.notch_divisor, velocity_axis=-1
-            )
-        else:
-            rdm = mag
-        return rdm
+    fns = make_stream_stage_fns(profile, stc_curve_db=stc_curve_db,
+                                pulses=pulses)
+    pc_fn, mag_fn = fns["pc_fn"], fns["mag_fn"]
+    spec_first_fn, spec_pair_fn = fns["spec_first_fn"], fns["spec_pair_fn"]
 
     split_det = make_split_detector(
         profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,

@@ -55,6 +55,11 @@ def load_measured_pulse(path: str, var: str | None = None) -> np.ndarray:
     elif path.endswith(".npz"):
         data = dict(np.load(path))
     else:
+        if var is not None:
+            raise ValueError(
+                f"var={var!r} has no meaning for {path}: .npy files hold a "
+                "single array (did you mean an .npz/.mat?)"
+            )
         return np.asarray(np.load(path)).ravel().astype(np.complex128)
     if var is None:
         if len(data) != 1:

@@ -581,11 +581,6 @@ def make_pipeline_parallel(
             profile.mtd.window, n_pulses, profile.mtd.window_beta
         )
 
-        def _pad_rows(x):
-            if x.shape[-2] < n_act:
-                return jnp.pad(x, ((0, n_act - x.shape[-2]), (0, 0)))
-            return x
-
         def s_pc(x):
             # zero pad rows compress to zero, so the padded buffer passes
             # through the segmented compressor unchanged in the real rows
@@ -622,7 +617,9 @@ def make_pipeline_parallel(
             return rdm + 1j * flags.astype(jnp.float32)
 
         def s_doppler_spec(x):
-            return _pad_rows(_spec(x))
+            # _spec emits exactly n_fft == n_act rows (the zero-padded
+            # transform fills the activation buffer)
+            return _spec(x)
 
         def s_mag_cfar(x):      # 3-stage tail: complex spectrum in
             rdm = _notched(jnp.abs(x))
