@@ -177,7 +177,7 @@ def _fused_call(xre, xim, wre, wim, mre, mim, n_fft, tile_k, tile_r,
     kernel = _make_kernel(use_dma, chunk, n_prt // chunk)
     if use_dma:
         # echo planes stay in HBM, streamed chunkwise by the kernel
-        x_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        x_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
         x_scratch = [
             pltpu.VMEM((chunk, xre.shape[2]), jnp.float32),  # echo re slot
             pltpu.VMEM((chunk, xre.shape[2]), jnp.float32),  # echo im slot
