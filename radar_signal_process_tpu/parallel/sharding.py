@@ -317,6 +317,8 @@ def make_sharded_stream(
     sp_axis: str = "sp",
     segmented: bool = True,
     renotch_divisor: int | None = None,
+    stc_curve_db=None,
+    pulses=None,
 ):
     """Steady-state streaming on a mesh with on-device per-frame PC reuse.
 
@@ -340,20 +342,27 @@ def make_sharded_stream(
       streaming chain; feed ``pc_next`` back as the next call's state.
 
     ``frame``: (n_beams, n_prt, n_points) complex, n_beams % dp == 0,
-    n_prt % sp == 0, n_points % sp == 0.
+    n_prt % sp == 0, n_points % sp == 0.  ``stc_curve_db`` / ``pulses``
+    mirror the host processors' iSTC and measured-matched-filter hooks
+    (iSTC and PC are fast-time-row local, so per-frame application before
+    compression matches the window-level semantics bit-for-bit).
     """
     from radar_signal_process_tpu.models.mtd_pipeline import (
         window_slice_starts,
     )
 
     cfg = cfg or profile.cfar
-    pulses = reference_pulses(profile)
+    pulses = reference_pulses(profile) if pulses is None else pulses
     n_sp = mesh.shape[sp_axis]
     segments = profile.cfar_segments if segmented else ()
     if segments and segments[-1][1] != profile.point_prt:
         segments = ()
 
     def compress(echo_local: jnp.ndarray) -> jnp.ndarray:
+        if profile.mtd.istc and stc_curve_db is not None:
+            from radar_signal_process_tpu.ops.mtd import istc_compensate
+
+            echo_local = istc_compensate(echo_local, stc_curve_db)
         pc = segmented_pulse_compression(echo_local, profile, pulses)
         if n_sp > 1:
             # slow-time-sharded -> range-sharded (the PC carry layout)

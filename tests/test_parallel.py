@@ -477,3 +477,45 @@ def test_pipeline_parallel_mti_profile(rng):
     flags_u, _ = segmented_cfar(rdm_u, prof.cfar_segments, cfg, 4)
     np.testing.assert_array_equal(np.asarray(rdm_pp), np.asarray(rdm_u))
     np.testing.assert_array_equal(np.asarray(flags_pp), np.asarray(flags_u))
+
+
+def test_sharded_stream_istc_and_measured_pulses(rng, mesh):
+    """The mesh stream's iSTC + measured-pulse hooks match the host chain."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import MTDConfig
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_processor,
+    )
+    from radar_signal_process_tpu.ops.waveforms import pulses_with_overrides
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_stream
+
+    n_prt = 32
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=n_prt, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        mtd=MTDConfig(window="kaiser", window_beta=8.0, notch_divisor=150,
+                      fftshift=True, istc=True),
+    )
+    stc = np.linspace(0.0, 6.0, 100)
+    wf = np.exp(1j * np.pi * np.linspace(-1, 1, 40) ** 2) * 1.1
+    pulses = pulses_with_overrides(prof, {1: wf})
+    frames = [
+        (rng.standard_normal((2, n_prt, 344))
+         + 1j * rng.standard_normal((2, n_prt, 344)))
+        for _ in range(3)
+    ]
+
+    init, step = make_sharded_stream(
+        prof, mesh, CFARConfig(threshold=5.0), 4, win_size=4,
+        renotch_divisor=20, stc_curve_db=stc, pulses=pulses,
+    )
+    sh = NamedSharding(mesh, P("dp", "sp", None))
+    pc = init(jax.device_put(jnp.asarray(frames[0]), sh))
+    host = make_cpu_stream_processor(prof, 4, stc_curve_db=stc, pulses=pulses)
+    for w in range(2):
+        pc, rdm_s, _, _ = step(pc, jax.device_put(jnp.asarray(frames[w + 1]), sh))
+        want = host(frames[w], frames[w + 1], frame_idx=w)
+        np.testing.assert_allclose(np.asarray(rdm_s), want, rtol=1e-9,
+                                   atol=1e-9)
