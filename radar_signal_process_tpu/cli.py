@@ -250,6 +250,31 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def _parse_match_waveforms(args, profile):
+    """``--match-waveform SEG=PATH[:VAR]`` specs -> pulses tuple (or None).
+
+    The measured matched-filter hook (``fun_MTD_produce.m:72-78`` /
+    ``temp.m:50-56``), shared by the mtd and stream commands.
+    """
+    if not getattr(args, "match_waveform", None):
+        return None
+    from radar_signal_process_tpu.ops.waveforms import (
+        load_measured_pulse,
+        pulses_with_overrides,
+    )
+
+    overrides = {}
+    for spec in args.match_waveform:
+        seg_s, _, rest = spec.partition("=")
+        if not rest:
+            raise SystemExit(
+                f"--match-waveform needs SEG=PATH[:VAR], got {spec!r}"
+            )
+        path, _, var = rest.partition(":")
+        overrides[int(seg_s)] = load_measured_pulse(path, var or None)
+    return pulses_with_overrides(profile, overrides)
+
+
 def cmd_mtd(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -267,25 +292,7 @@ def cmd_mtd(args) -> int:
 
         stc_curve = load_stc_curve(args.istc)
         profile = dc.replace(profile, mtd=dc.replace(profile.mtd, istc=True))
-    pulses = None
-    if getattr(args, "match_waveform", None):
-        # measured matched-filter waveforms per chirped segment (the
-        # reference's commented hook, fun_MTD_produce.m:72-78 / temp.m:50-56)
-        from radar_signal_process_tpu.ops.waveforms import (
-            load_measured_pulse,
-            pulses_with_overrides,
-        )
-
-        overrides = {}
-        for spec in args.match_waveform:
-            seg_s, _, rest = spec.partition("=")
-            if not rest:
-                raise SystemExit(
-                    f"--match-waveform needs SEG=PATH[:VAR], got {spec!r}"
-                )
-            path, _, var = rest.partition(":")
-            overrides[int(seg_s)] = load_measured_pulse(path, var or None)
-        pulses = pulses_with_overrides(profile, overrides)
+    pulses = _parse_match_waveforms(args, profile)
     if jax.default_backend() == "cpu":
         # host-thread fan-out over beam chunks with split stage executables
         # plus per-frame PC reuse across consecutive windows (see
@@ -703,6 +710,14 @@ def cmd_stream(args) -> int:
         dp, sp = (int(x) for x in args.mesh.lower().split("x"))
         mesh = make_mesh(("dp", "sp"), shape=(dp, sp),
                          devices=jax.devices()[: dp * sp])
+    stc_curve = None
+    if getattr(args, "istc", None):
+        import dataclasses as dc
+
+        from radar_signal_process_tpu.utils.dataset import load_stc_curve
+
+        stc_curve = load_stc_curve(args.istc)
+        profile = dc.replace(profile, mtd=dc.replace(profile.mtd, istc=True))
     pipe = StreamingPipeline(
         reader_cls(args.input, profile),
         profile,
@@ -712,6 +727,8 @@ def cmd_stream(args) -> int:
         max_detections=args.max_detections,
         dbf_coeffs=coeffs,
         mesh=mesh,
+        stc_curve_db=stc_curve,
+        pulses=_parse_match_waveforms(args, profile),
     )
     frames_out = []
     t_prev = _time.perf_counter()
@@ -1116,6 +1133,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--clutter-v", type=float, default=3.0)
     st.add_argument("--max-detections", type=int, default=16)
     st.add_argument("--dbf-coeffs", default=None)
+    st.add_argument("--istc", default=None, metavar="CURVE_TXT",
+                    help="iSTC gain compensation curve (fun_iSTC.m)")
+    st.add_argument("--match-waveform", action="append", default=None,
+                    metavar="SEG=PATH[:VAR]",
+                    help="measured matched-filter waveform per chirped "
+                         "segment (fun_MTD_produce.m:72-78 hook); repeatable")
     st.add_argument("--mesh", default=None, metavar="DPxSP",
                     help="stream over a (dp, sp) device mesh with the "
                          "compressed previous frame carried on device "

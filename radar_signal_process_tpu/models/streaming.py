@@ -56,6 +56,8 @@ class StreamingPipeline:
         dbf_coeffs: np.ndarray | None = None,
         use_host_parallel: bool | None = None,
         mesh=None,
+        stc_curve_db=None,
+        pulses=None,
     ):
         self.reader = reader
         self.profile = profile
@@ -88,7 +90,7 @@ class StreamingPipeline:
 
             init, step_fn = make_sharded_stream(
                 profile, mesh, n_clutter=n_clutter, win_size=win_size,
-                renotch_divisor=20,
+                renotch_divisor=20, stc_curve_db=stc_curve_db, pulses=pulses,
             )
             in_sh = NamedSharding(mesh, P("dp", "sp", None))
             dp = mesh.shape["dp"]
@@ -140,7 +142,8 @@ class StreamingPipeline:
             # detect sweep across the materialized RDM stack)
             proc = make_cpu_stream_detector(
                 profile, win_size, n_clutter,
-                max_detections=max_detections,
+                max_detections=max_detections, stc_curve_db=stc_curve_db,
+                pulses=pulses,
             )
             pending: dict = {}
 
@@ -155,7 +158,9 @@ class StreamingPipeline:
                 return pending.pop("fd")
 
         else:
-            _p = make_frame_processor(profile, win_size)
+            _p = make_frame_processor(profile, win_size,
+                                      stc_curve_db=stc_curve_db,
+                                      pulses=pulses)
 
             def _process(a, b, frame_idx=None):
                 return _p(a, b)

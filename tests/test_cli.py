@@ -559,3 +559,60 @@ def test_cli_mtd_match_waveform(tmp_path, capsys):
     # and differs from the synthesized-pulse output
     base = np.asarray(mtd_window_produce(jnp.asarray(win, jnp.complex64), TINY, 2))
     assert not np.array_equal(arrays["rdm"], base)
+
+
+def test_cli_stream_istc_and_match_waveform(tmp_path, capsys, monkeypatch):
+    """stream threads the stage-2 hooks (--istc / --match-waveform): the
+    streamed RDM-derived hit counts change accordingly and match the mtd
+    stage run with the same hooks."""
+    import jax.numpy as jnp
+
+    from radar_signal_process_tpu.models.mtd_pipeline import mtd_window_produce
+    from radar_signal_process_tpu.models.host_parallel import make_cpu_flags
+    from radar_signal_process_tpu.ops.waveforms import pulses_with_overrides
+    from radar_signal_process_tpu.utils import load_frame
+
+    tinys = dataclasses.replace(
+        TINY, cfar_segments=((0, 24), (24, 104), (104, 344))
+    )
+    monkeypatch.setitem(PROFILES, "TINYS2", tinys)
+    cap = str(tmp_path / "capture")
+    cli.main(["simulate", "--output", cap, "--profile", "TINYS2", "--frames",
+              "3", "--velocity", "4.0", "--range", "60", "--scr", "25"])
+    capsys.readouterr()
+
+    stc_path = tmp_path / "stc.txt"
+    np.savetxt(stc_path, np.linspace(0, 6, 50))
+    wf = np.exp(1j * np.pi * np.linspace(-1, 1, 40) ** 2) * 1.2
+    wf_path = str(tmp_path / "mw.npz")
+    np.savez(wf_path, refData=wf)
+
+    assert cli.main([
+        "stream", "--input", cap, "--profile", "TINYS2", "--frames", "3",
+        "--win-size", "2", "--istc", str(stc_path),
+        "--match-waveform", f"1={wf_path}:refData",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["frames"]) == 2
+
+    # expected hits: the batched stage-2 chain with the same hooks
+    frames_dir = str(tmp_path / "frames")
+    assert cli.main([
+        "ingest", "--input", cap, "--output", frames_dir, "--profile",
+        "TINYS2", "--frames", "3",
+    ]) == 0
+    import dataclasses as dc
+
+    prof_istc = dc.replace(tinys, mtd=dc.replace(tinys.mtd, istc=True))
+    stc = np.loadtxt(stc_path)
+    pulses = pulses_with_overrides(tinys, {1: wf})
+    f0 = np.moveaxis(load_frame(frames_dir, 0)[0]["iq"], -1, 0)
+    f1 = np.moveaxis(load_frame(frames_dir, 1)[0]["iq"], -1, 0)
+    win = np.concatenate([f0, f1], axis=-2)
+    rdms = mtd_window_produce(jnp.asarray(win, jnp.complex64), prof_istc, 2,
+                              stc_curve_db=stc, pulses=pulses)
+    from radar_signal_process_tpu.models.detect import clutter_cells
+
+    nc = clutter_cells(tinys, tinys.prt_per_frame, 3.0)
+    flags, _ = make_cpu_flags(tinys, nc)(rdms)
+    assert out["frames"][0]["cfar_hits"] == int(flags.sum())
