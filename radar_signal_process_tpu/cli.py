@@ -532,6 +532,12 @@ def cmd_detect(args) -> int:
         if args.format == "mat":
             from radar_signal_process_tpu.utils import matbus
 
+            if det_width is not None:
+                log.warning(
+                    "--format mat writes only the reference's cfarFlag "
+                    "variables; per-detection spectral widths are not "
+                    "persisted (use the npz format)"
+                )
             matbus.save_cfar_mat(
                 matbus.mat_frame_path(args.output, frame_idx), np.asarray(flags)
             )

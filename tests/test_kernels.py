@@ -311,3 +311,58 @@ def test_fused_pc_rdm_g0_geometry_peak(rng):
     assert rdm.shape == (chain.mtd_fft_length, chain.pc_fft_length)
     v, r = np.unravel_index(np.argmax(rdm), rdm.shape)
     assert (v, r) == (k_dop, d)
+
+
+def test_fused_pc_rdm_geometry_fuzz(rng):
+    """Random geometries through the fused former: parity with the
+    split-real composition for every (n_prt, n_in, n_fft, tile) draw."""
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        fused_pc_rdm_pallas,
+        pc_matrix_freq_domain,
+    )
+    from radar_signal_process_tpu.ops.mtd import _dft_matrix_rect
+
+    for _ in range(4):
+        n_prt = int(rng.choice([64, 128, 192]))
+        n_in = int(rng.integers(30, 140))
+        pc_fft = 128 if n_in <= 128 else 256
+        n_fft = int(rng.choice([256, 384]))
+        tile_k = int(rng.choice([64, 128]))
+        echo = (rng.standard_normal((2, n_prt, n_in))
+                + 1j * rng.standard_normal((2, n_prt, n_in))
+                ).astype(np.complex64)
+        pulse = (rng.standard_normal(24) + 1j * rng.standard_normal(24))
+        m = pc_matrix_freq_domain(np.conj(np.fft.fft(pulse, pc_fft)),
+                                  n_in, pc_fft)
+        window = np.hamming(n_prt)
+        got = np.asarray(fused_pc_rdm_pallas(
+            jnp.asarray(echo), m, window, n_fft, tile_k=tile_k,
+            interpret=True,
+        ))
+        assert got.shape == (2, n_fft, pc_fft)
+        n_in_pad = -(-n_in // 128) * 128
+        m_pad = np.pad(m, ((0, n_in_pad - n_in), (0, 0)))
+        echo_pad = np.pad(echo, ((0, 0), (0, 0), (0, n_in_pad - n_in)))
+        w = _dft_matrix_rect(n_fft, n_prt, False, tuple(window.tolist()))
+        want = np.asarray(_split_real_reference(
+            jnp.asarray(echo_pad), m_pad, w
+        ))
+        scale = want.max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=1e-5), (
+            n_prt, n_in, n_fft, tile_k,
+        )
+
+
+def test_fused_pc_rdm_rejects_bad_shapes(rng):
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        fused_pc_rdm_pallas,
+        pc_matrix_freq_domain,
+    )
+
+    echo = jnp.zeros((2, 64, 100), jnp.complex64)
+    m = pc_matrix_freq_domain(np.ones(128, complex), 100, 128)
+    with pytest.raises(ValueError, match="pc_matrix rows"):
+        fused_pc_rdm_pallas(echo[..., :90], m, np.hamming(64), 256,
+                            interpret=True)
+    with pytest.raises(ValueError, match="multiple of tile_k"):
+        fused_pc_rdm_pallas(echo, m, np.hamming(64), 200, interpret=True)
