@@ -137,10 +137,6 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
         segmented_cfar_select,
     )
     from radar_signal_process_tpu.ops.mtd import zero_velocity_notch
-    from radar_signal_process_tpu.ops.pulse_compression import (
-        segmented_pulse_compression,
-    )
-    from radar_signal_process_tpu.ops.waveforms import reference_pulses
     from radar_signal_process_tpu.ops.windows import make_window
 
     n_cpi = prof.prt_per_frame
@@ -161,6 +157,12 @@ def _make_cpu_stage_fns(prof, cfg, n_clutter: int):
     def spec_fn(pc, i, start):                       # -> (n_pts, n_cpi) c64
         sl = jax.lax.dynamic_slice_in_dim(pc, i, 1, axis=0)[0]
         sl = jax.lax.slice_in_dim(sl, start, start + n_cpi, axis=-2)
+        if prof.mtd.mti_lag:
+            # keep both bench chains in lockstep with the shared streaming
+            # stages for MTI profiles
+            from radar_signal_process_tpu.ops.mtd import mti_cancel
+
+            sl = mti_cancel(sl, lag=prof.mtd.mti_lag)
         return jnp.fft.fft(sl * w_col, axis=0).T
 
     segments = prof.cfar_segments or ((0, prof.point_prt),)

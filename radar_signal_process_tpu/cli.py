@@ -478,6 +478,12 @@ def cmd_detect(args) -> int:
     detector = None
     timers = StageTimers()
     done = 0
+    if args.spectral_width_db is not None and args.format == "mat":
+        log.warning(
+            "--format mat writes only the reference's cfarFlag variables; "
+            "per-detection spectral widths are not computed or persisted "
+            "(use the npz format)"
+        )
     for frame_idx in range(args.frames):
         if _stage_exists(args.output, frame_idx, args.format) and not args.force:
             done += 1
@@ -520,7 +526,7 @@ def cmd_detect(args) -> int:
             flags, vflags, dets = detector(rdms)
             h["fence"] = flags
         det_width = None
-        if args.spectral_width_db is not None:
+        if args.spectral_width_db is not None and args.format != "mat":
             from radar_signal_process_tpu.ops.spectrum import (
                 detection_spectral_widths,
             )
@@ -532,12 +538,6 @@ def cmd_detect(args) -> int:
         if args.format == "mat":
             from radar_signal_process_tpu.utils import matbus
 
-            if det_width is not None:
-                log.warning(
-                    "--format mat writes only the reference's cfarFlag "
-                    "variables; per-detection spectral widths are not "
-                    "persisted (use the npz format)"
-                )
             matbus.save_cfar_mat(
                 matbus.mat_frame_path(args.output, frame_idx), np.asarray(flags)
             )

@@ -348,8 +348,9 @@ def test_fused_pc_rdm_geometry_fuzz(rng):
             jnp.asarray(echo_pad), m_pad, w
         ))
         scale = want.max()
-        np.testing.assert_allclose(got / scale, want / scale, atol=1e-5), (
-            n_prt, n_in, n_fft, tile_k,
+        np.testing.assert_allclose(
+            got / scale, want / scale, atol=1e-5,
+            err_msg=f"geometry {(n_prt, n_in, n_fft, tile_k)}",
         )
 
 
