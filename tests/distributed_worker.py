@@ -119,6 +119,43 @@ def main() -> int:
     )(rdm_s, flags_s)
     halo = jax.block_until_ready(halo)
 
+    # Phase 3: two consecutive sharded-STREAM steps (round-4 mesh
+    # streaming): the compressed, range-sharded frame is carried on device
+    # between jitted calls, with its all_to_all/ppermute collectives — and
+    # the carry itself — living on the cross-process mesh.
+    import numpy as np
+
+    from radar_signal_process_tpu.parallel.sharding import make_sharded_stream
+
+    init, step_fn = make_sharded_stream(
+        prof, mesh2, n_clutter=4, win_size=4, renotch_divisor=20
+    )
+    rng = np.random.default_rng(7)
+    fshape = (2, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        (rng.standard_normal(fshape) + 1j * rng.standard_normal(fshape))
+        .astype(np.complex64)
+        for _ in range(3)
+    ]
+    in_sh = NamedSharding(mesh2, P("dp", "sp", None))
+
+    def to_global(arr):
+        return jax.make_array_from_callback(
+            arr.shape, in_sh, lambda idx: arr[idx]
+        )
+
+    reduce_fn = jax.jit(
+        lambda f: _jnp.sum(f).astype(_jnp.float32)[None],
+        out_shardings=NamedSharding(mesh2, P()),
+    )
+    pc = init(to_global(frames[0]))
+    stream_sums = []
+    for w in (1, 2):
+        pc, _, flags_w, _ = step_fn(pc, to_global(frames[w]))
+        stream_sums.append(
+            float(jax.block_until_ready(reduce_fn(flags_w))[0])
+        )
+
     result = {
         "process_id": pid,
         "num_processes": n_procs,
@@ -127,6 +164,7 @@ def main() -> int:
         "flag_sum": float(sums[1]),
         "halo_rdm_sum": float(halo[0]),
         "halo_flag_sum": float(halo[1]),
+        "stream_flag_sums": stream_sums,
     }
     with open(out_path, "w") as f:
         json.dump(result, f)

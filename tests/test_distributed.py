@@ -96,6 +96,11 @@ def test_two_process_dp_mesh_matches_single_process(tmp_path):
         results[0]["halo_rdm_sum"], results[0]["rdm_sum"], rtol=1e-5
     )
 
+    # phase 3: the streaming carry crossed the process boundary twice; both
+    # processes saw identical window flag counts
+    assert results[0]["stream_flag_sums"] == results[1]["stream_flag_sums"]
+    assert len(results[0]["stream_flag_sums"]) == 2
+
     # parity vs the unsharded single-process chain on the same batch
     sys.path.insert(0, os.path.dirname(_WORKER))
     from distributed_worker import chain_sums, make_batch, tiny_profile
@@ -110,3 +115,25 @@ def test_two_process_dp_mesh_matches_single_process(tmp_path):
     )
     assert results[0]["flag_sum"] == want[1]
     np.testing.assert_allclose(results[0]["rdm_sum"], want[0], rtol=1e-5)
+
+    # and the streamed windows match the single-process host streaming
+    # chain's detect counts on the same frames
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_flags,
+        make_cpu_stream_processor,
+    )
+
+    prof = tiny_profile()
+    rng = np.random.default_rng(7)
+    fshape = (2, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        (rng.standard_normal(fshape) + 1j * rng.standard_normal(fshape))
+        .astype(np.complex64)
+        for _ in range(3)
+    ]
+    host = make_cpu_stream_processor(prof, 4)
+    flags_fn = make_cpu_flags(prof, 4)
+    for w in range(2):
+        rdms = host(frames[w], frames[w + 1], frame_idx=w)
+        flags, _ = flags_fn(rdms)
+        assert results[0]["stream_flag_sums"][w] == float(flags.sum()), w
