@@ -358,24 +358,19 @@ def make_cpu_stream_processor(
 
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
 
-    pulses = reference_pulses(profile) if pulses is None else pulses
     window = make_window(
         profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
     )
     n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
     n_prt = profile.prt_per_frame
     starts = window_slice_starts(n_prt, win_size)
-
-    @jax.jit
-    def pc_fn(beams):                            # (b, n_prt, pts)
-        if profile.mtd.istc and stc_curve_db is not None:
-            from radar_signal_process_tpu.ops.mtd import istc_compensate
-
-            # iSTC is per-row along fast time (fun_iSTC.m:12-15), so
-            # applying it per frame before compression matches the
-            # window-level application bit-for-bit
-            beams = istc_compensate(beams, stc_curve_db)
-        return segmented_pulse_compression(beams, profile, pulses)
+    # shared PC stage (iSTC applied per frame before compression — per-row
+    # along fast time, fun_iSTC.m:12-15, so bit-equal to the window form);
+    # the standard-layout Doppler fns below are this processor's own
+    # contract (the detector/bench chains use the range-major forms)
+    pc_fn = make_stream_stage_fns(
+        profile, stc_curve_db=stc_curve_db, pulses=pulses
+    )["pc_fn"]
 
     def _doppler(sl):
         if profile.mtd.mti_lag:
