@@ -863,6 +863,7 @@ def cmd_dmx(args) -> int:
         5 if args.freq_index is None else args.freq_index,
         0 if args.beam_pos is None else args.beam_pos,
         spectral_width_db=args.spectral_width_db,
+        spectral_width_interp=args.spectral_width_interp,
     )
     reader_cls = G1FrameReader
     if args.native:
@@ -1167,6 +1168,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also record each detection's Doppler spectral "
                           "width at this dB constraint (K12, "
                           "ampConstrWidthEst.m)")
+    dmx.add_argument("--spectral-width-interp", type=int, default=1,
+                     help="spline-upsample factor for sub-bin widths (the "
+                          "reference's interpFlag/interpTimes mode; 1 = off)")
     dmx.add_argument("--gps", default=None)
     dmx.add_argument("--gps-start-line", type=int, default=1)
     dmx.add_argument("--frames-shift", type=int, default=0)

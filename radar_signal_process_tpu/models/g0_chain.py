@@ -98,6 +98,7 @@ class G0Chain:
         max_detections: int = 32,
         use_split: bool | None = None,
         spectral_width_db: float | None = None,
+        spectral_width_interp: int = 1,
     ):
         self.profile = profile
         self.chain = chain
@@ -107,6 +108,7 @@ class G0Chain:
         # optional K12 per-detection Doppler width (ampConstrWidthEst.m);
         # G0 spectra are unshifted, so the width rule fftshifts the column
         self.spectral_width_db = spectral_width_db
+        self.spectral_width_interp = spectral_width_interp
 
         ts = profile.ts
         self.fc = freq_value(freq_index)
@@ -398,6 +400,7 @@ class G0Chain:
             ele_angle_sys_err=self.chain.ele_angle_sys_err,
             spectral_width_db=self.spectral_width_db,
             spectral_width_shifted=False,
+            spectral_width_interp=self.spectral_width_interp,
         )
         meas_s = motion_parameters(
             sum_short, diff_short, dets_s, r_scale=self.r_scale_short, **common

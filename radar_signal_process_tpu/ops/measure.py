@@ -146,6 +146,7 @@ def motion_parameters(
     ele_angle_sys_err: float = 0.0,
     spectral_width_db: float | None = None,
     spectral_width_shifted: bool = True,
+    spectral_width_interp: int = 1,
 ) -> Measurements:
     """Per-detection sub-bin range/velocity/elevation estimation.
 
@@ -159,7 +160,9 @@ def motion_parameters(
     ``spectral_width_db`` (optional) additionally measures each detection's
     Doppler spectral width from its velocity column with the K12 rule
     (``ampConstrWidthEst.m:6-41``); ``spectral_width_shifted=False`` marks
-    unshifted (G0-layout) spectra so the column is fftshift'ed first.
+    unshifted (G0-layout) spectra so the column is fftshift'ed first, and
+    ``spectral_width_interp > 1`` enables the reference's spline-upsampled
+    sub-bin width mode (``interpFlag``/``interpTimes``).
     """
     nv, nr = rdm_sum.shape
     w = 2 * extra_dots + 1
@@ -210,6 +213,8 @@ def motion_parameters(
         width = detection_spectral_widths(
             rdm_sum, detections.r_idx, spectral_width_db,
             shifted_input=spectral_width_shifted,
+            interp=spectral_width_interp > 1,
+            interp_times=max(spectral_width_interp, 1),
         )
     return Measurements(
         range_m=r_est, velocity_ms=v_est, elevation_deg=ele,

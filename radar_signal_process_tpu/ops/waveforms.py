@@ -47,12 +47,25 @@ def load_measured_pulse(path: str, var: str | None = None) -> np.ndarray:
     ``DMX_SignalProcessing_main_xzr.m:156-159``).  ``var`` selects the
     variable/array name; default: the single non-metadata entry.
     """
-    if path.endswith(".mat"):
+    def _as_waveform(arr) -> np.ndarray:
+        # a measured waveform is one complex vector; flattening a 2-D table
+        # (e.g. a stack of pulses, or a (n, 2) real/imag pair saved as a
+        # matrix) would silently matched-filter against interleaved garbage
+        wf = np.squeeze(np.asarray(arr))
+        if wf.ndim != 1:
+            raise ValueError(
+                f"measured waveform in {path} has shape {np.shape(arr)}; "
+                "expected one 1-D complex vector (select a row/variable)"
+            )
+        return wf.astype(np.complex128)
+
+    lower = path.lower()
+    if lower.endswith(".mat"):
         import scipy.io as sio
 
         data = {k: v for k, v in sio.loadmat(path).items()
                 if not k.startswith("__")}
-    elif path.endswith(".npz"):
+    elif lower.endswith(".npz"):
         data = dict(np.load(path))
     else:
         if var is not None:
@@ -60,7 +73,7 @@ def load_measured_pulse(path: str, var: str | None = None) -> np.ndarray:
                 f"var={var!r} has no meaning for {path}: .npy files hold a "
                 "single array (did you mean an .npz/.mat?)"
             )
-        return np.asarray(np.load(path)).ravel().astype(np.complex128)
+        return _as_waveform(np.load(path))
     if var is None:
         if len(data) != 1:
             raise ValueError(
@@ -69,7 +82,7 @@ def load_measured_pulse(path: str, var: str | None = None) -> np.ndarray:
         (var,) = data
     if var not in data:
         raise KeyError(f"{var!r} not in {path} (has {sorted(data)})")
-    return np.asarray(data[var]).ravel().astype(np.complex128)
+    return _as_waveform(data[var])
 
 
 def pulses_with_overrides(
@@ -94,6 +107,8 @@ def pulses_with_overrides(
                 "segments take a matched-filter waveform"
             )
         wf = np.asarray(wf).ravel().astype(np.complex128)
+        if len(wf) == 0:
+            raise ValueError(f"measured waveform for segment {seg} is empty")
         if len(wf) > profile.segment_points[seg]:
             raise ValueError(
                 f"measured waveform ({len(wf)} samples) longer than "

@@ -161,3 +161,67 @@ def test_motion_parameters_optional_spectral_width(rng):
     np.testing.assert_array_equal(
         np.asarray(meas.range_m), np.asarray(base.range_m)
     )
+
+
+def test_load_measured_pulse_robustness(tmp_path, rng):
+    """Loader guards: 2-D tables rejected, case-insensitive extensions,
+    empty waveforms rejected by the override builder."""
+    import pytest
+
+    from radar_signal_process_tpu.ops.waveforms import (
+        load_measured_pulse,
+        pulses_with_overrides,
+    )
+
+    wf = rng.standard_normal(20) + 1j * rng.standard_normal(20)
+    # singleton dims squeeze away (MATLAB vectors load as (1, n))
+    p = tmp_path / "ok.npz"
+    np.savez(p, refData=wf[None, :])
+    np.testing.assert_array_equal(load_measured_pulse(str(p)), wf)
+
+    # a genuine 2-D table must be rejected, not raveled
+    p2 = tmp_path / "table.npz"
+    np.savez(p2, refData=np.stack([wf, wf]))
+    with pytest.raises(ValueError, match="1-D complex vector"):
+        load_measured_pulse(str(p2))
+
+    # upper-case extensions route to the right parser
+    import scipy.io as sio
+
+    p3 = tmp_path / "WF.MAT"
+    sio.savemat(p3, {"refData": wf})
+    np.testing.assert_allclose(load_measured_pulse(str(p3), "refData"), wf)
+
+    # empty waveforms fail loud before corrupting segment widths
+    with pytest.raises(ValueError, match="empty"):
+        pulses_with_overrides(G2_PROFILE, {1: np.zeros(0, complex)})
+
+
+def test_motion_parameters_interpolated_width(rng):
+    """spectral_width_interp threads the reference's sub-bin width mode."""
+    from radar_signal_process_tpu.ops.measure import (
+        extract_detections,
+        motion_parameters,
+    )
+
+    nv, nr = 40, 16
+    rdm = rng.random((nv, nr)).astype(np.float32) * 0.01
+    rdm[18:23, 5] += np.hanning(5) * 9.0
+    flags = np.zeros((nv, nr), dtype=bool)
+    flags[20, 5] = True
+    dets = extract_detections(jnp.asarray(flags), jnp.asarray(rdm), 2)
+    common = dict(
+        r_scale=np.arange(nr) * 6.0, delta_r=6.0,
+        v_scale=np.linspace(-20, 20, nv), delta_v=1.0, k_value=1.0,
+        beam_pos=0, beam_angle_step=5.0, n_clutter=2,
+        spectral_width_db=-20.0,
+    )
+    coarse = motion_parameters(jnp.asarray(rdm), jnp.asarray(rdm) * 0.1,
+                               dets, **common)
+    fine = motion_parameters(jnp.asarray(rdm), jnp.asarray(rdm) * 0.1, dets,
+                             spectral_width_interp=4, **common)
+    w_c = float(np.asarray(coarse.spectral_width)[0])
+    w_f = float(np.asarray(fine.spectral_width)[0])
+    assert w_c == float(int(w_c))          # whole bins without interp
+    assert w_f % 1 in (0.0, 0.25, 0.5, 0.75)
+    assert abs(w_f - w_c) < 2.0            # same lobe, sub-bin refined
