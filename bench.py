@@ -615,6 +615,12 @@ def stage_sol_report(prof, repeat: int, host: np.ndarray) -> dict:
             "sol_pct": round(100.0 * sol_cpu / t, 1),
             "sol_ms_v5e": round(sol_tpu * 1e3, 3),
         }
+    # the v5e column above bounds the XLA-form executables this table
+    # timed; the TPU production path replaces the CFAR with the fused
+    # Pallas kernel whose in-VMEM traffic bound is far tighter (~0.35 GB
+    # -> ~0.45 ms, docs/tpu_design.md) — record it so the projection is
+    # not read as the fused kernel's bound
+    out["cfar"]["sol_ms_v5e_fused_kernel"] = 0.45
     return out
 
 

@@ -281,20 +281,16 @@ def make_cpu_frame_processor(
 
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
 
-    pulses = reference_pulses(profile) if pulses is None else pulses
     window = make_window(
         profile.mtd.window, profile.prt_per_frame, profile.mtd.window_beta
     )
     n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
     starts = window_slice_starts(profile.prt_per_frame, win_size)
-
-    @jax.jit
-    def pc_fn(beams):                            # (b, 2*prt, pts)
-        if profile.mtd.istc and stc_curve_db is not None:
-            from radar_signal_process_tpu.ops.mtd import istc_compensate
-
-            beams = istc_compensate(beams, stc_curve_db)
-        return segmented_pulse_compression(beams, profile, pulses)
+    # shared PC stage (the fn is row-count agnostic: this processor feeds
+    # it the full 2*prt doubled window)
+    pc_fn = make_stream_stage_fns(
+        profile, stc_curve_db=stc_curve_db, pulses=pulses
+    )["pc_fn"]
 
     # beam index traced + static slice start: the CPI slice stays inside
     # the Doppler executable, so neither the stacked slice tensor nor an
