@@ -534,6 +534,8 @@ def cmd_detect(args) -> int:
             det_width = np.asarray(detection_spectral_widths(
                 rdms, dets.r_idx, args.spectral_width_db,
                 shifted_input=profile.mtd.fftshift,
+                interp=args.spectral_width_interp > 1,
+                interp_times=max(args.spectral_width_interp, 1),
             ))
         if args.format == "mat":
             from radar_signal_process_tpu.utils import matbus
@@ -1109,6 +1111,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also record each detection's Doppler spectral "
                           "width at this dB constraint (K12, "
                           "ampConstrWidthEst.m)")
+    det.add_argument("--spectral-width-interp", type=int, default=1,
+                     help="spline-upsample factor for sub-bin widths (the "
+                          "reference's interpFlag/interpTimes mode; 1 = off)")
     det.add_argument("--format", default="npz", choices=("npz", "mat"),
                      help="'mat' writes cfarFlag_win_{beam} variables; "
                           "inputs auto-detect npz or mat")
