@@ -239,12 +239,11 @@ def build_stream_chain(profile=None, n_clutter: int = 14,
     if n_threads is None:
         n_threads = max(1, min(os.cpu_count() or 1, prof.n_beams))
     if n_chunks is None:
-        # ~2 beams per PC chunk: finer jobs pack the dependency queue with
-        # less idle at PC boundaries and keep each compressed chunk
-        # (2 x 332 x 3404 c64 = 18 MB) closer to cache than the
-        # one-chunk-per-thread form (63 MB) — measured 967 -> 823 ms/window
-        # quiet, and the winner in every interleaved contended A/B pair
-        n_chunks = max(n_threads, -(-prof.n_beams // 2))
+        # 1 beam per PC chunk: with the round-4 queue look-ahead, the
+        # finest PC jobs interleave best (ABAB A/B medians ~711 vs ~767 ms
+        # p50 against the former 2-beam chunks; 1-beam won 3 of 4 pairs)
+        # and each compressed chunk (9 MB) stays cache-resident
+        n_chunks = prof.n_beams
     starts = window_slice_starts(prof.prt_per_frame, 4)
     spec_first, spec_pair = fns["spec_first_fn"], fns["spec_pair_fn"]
     mag_fn, cfar_fn = fns["mag_fn"], fns["cfar_fn"]
@@ -746,7 +745,7 @@ def _bench_e2e_stream(n_windows: int = 6) -> dict:
             functools.partial(extract_detections, max_detections=16)
         )
         n_threads = max(1, min(os.cpu_count() or 1, prof.n_beams))
-        n_chunks = max(n_threads, -(-prof.n_beams // 2))
+        n_chunks = prof.n_beams  # 1-beam PC chunks (see build_stream_chain)
 
         def item(acc, pc_a, pc_b, c, b, w, s, start):
             if start == 0:
