@@ -114,6 +114,7 @@ def pipelined_window_map(
     item_fn: Callable,
     n_threads: int,
     n_chunks: int | None = None,
+    on_window_done: Callable[[int], None] | None = None,
 ) -> list:
     """Cross-frame pipelined driver with per-frame pulse-compression reuse.
 
@@ -142,6 +143,12 @@ def pipelined_window_map(
     queue works, and a PC job whose frame is not yet ready blocks only that
     worker (ready Doppler/CFAR items keep the other workers busy).  The
     callable is invoked once, by the first PC job needing it.
+
+    ``on_window_done(w)`` (optional) fires exactly once per window, from
+    the worker that completes its last item, outside the queue lock —
+    the hook for incremental result emission (windows may complete out of
+    index order; callers reorder).  A callback exception aborts the run
+    like an item failure.
     """
     n_frames = len(frames)
     frames = list(frames)
@@ -183,6 +190,7 @@ def pipelined_window_map(
     # frame is dead — without this a live-ingest stream would retain every
     # materialized frame for the whole call
     frame_chunks_left = [n_chunks] * n_frames
+    win_items_left = [n_beams * n_slices] * n_windows
     out: list = [None] * n_threads
     errors: List[BaseException] = []
 
@@ -254,7 +262,11 @@ def pipelined_window_map(
                                 pc_refs[(f, c)] -= 1
                                 if pc_refs[(f, c)] == 0:
                                     pcs.pop((f, c), None)
+                        win_items_left[w] -= 1
+                        window_complete = win_items_left[w] == 0
                         cond.notify_all()
+                    if window_complete and on_window_done is not None:
+                        on_window_done(w)   # outside the lock; may raise
         except BaseException as e:  # noqa: BLE001 — re-raised below
             with cond:
                 errors.append(e)
@@ -664,6 +676,129 @@ def make_cpu_stream_detector(
         return out_rdm, out_flags, dets_all
 
     return process
+
+
+def make_cpu_stream_pipeline(
+    profile: RadarProfile,
+    win_size: int = 4,
+    n_clutter: int = 14,
+    cfg: CFARConfig | None = None,
+    max_detections: int = 64,
+    stc_curve_db=None,
+    renotch_divisor: int | None = 20,
+    pulses=None,
+    n_chunks: int | None = None,
+):
+    """Block-pipelined stream runner: windows emit as they complete.
+
+    The throughput form of :func:`make_cpu_stream_detector`: a whole block
+    of consecutive frames runs through ONE :func:`pipelined_window_map`
+    call (per-frame PC reuse, cross-window overlap, queue look-ahead, the
+    fused per-item CFAR + extraction), and each finished window is emitted
+    through a callback instead of materializing at a per-window barrier.
+
+    Returns ``run(frames, emit)``: ``frames`` is a list of per-frame beam
+    cubes (``frames[0]`` must be materialized; later entries may be
+    callables for live ingest), ``emit(w, rdms, flags, dets)`` fires once
+    per window in COMPLETION order (callers reorder by ``w``) with the
+    same array contracts as ``make_cpu_stream_detector``.
+    """
+    import functools
+
+    from radar_signal_process_tpu.models.detect import make_split_detector
+    from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
+    from radar_signal_process_tpu.ops.measure import (
+        DetectionList,
+        extract_detections,
+    )
+
+    cfg = cfg or profile.cfar
+    n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
+    n_prt = profile.prt_per_frame
+    starts = window_slice_starts(n_prt, win_size)
+    fns = make_stream_stage_fns(profile, stc_curve_db=stc_curve_db,
+                                pulses=pulses)
+    pc_fn, mag_fn = fns["pc_fn"], fns["mag_fn"]
+    spec_first_fn, spec_pair_fn = fns["spec_first_fn"], fns["spec_pair_fn"]
+    split_det = make_split_detector(
+        profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
+        transposed=True,
+    )
+    extract = jax.jit(
+        functools.partial(extract_detections, max_detections=max_detections)
+    )
+
+    def run(frames, emit) -> None:
+        first = frames[0]
+        if callable(first):
+            raise ValueError("frames[0] must be a materialized array")
+        n_beams, _, n_pts = first.shape
+        chunks = n_chunks if n_chunks is not None else n_beams
+        # the queue's chunk bounds, reproduced (same formula) for the
+        # global-beam mapping of each (chunk, local-beam) item
+        k = -(-n_beams // chunks)
+        offsets = [lo for lo in range(0, n_beams, k)]
+        real_dtype = (
+            np.float64 if np.asarray(first[:1, :1, :1]).dtype == np.complex128
+            else np.float32
+        )
+        kd = min(max_detections, n_prt * n_pts)
+        buffers: dict = {}
+        buf_lock = threading.Lock()
+
+        def _buf(w):
+            with buf_lock:
+                b = buffers.get(w)
+                if b is None:
+                    b = dict(
+                        rdm=np.empty((n_beams, win_size, n_prt, n_pts),
+                                     real_dtype),
+                        flags=np.empty((n_beams, win_size, n_prt, n_pts),
+                                       bool),
+                        det_v=np.zeros((n_beams, win_size, kd), np.int32),
+                        det_r=np.zeros((n_beams, win_size, kd), np.int32),
+                        det_amp=np.zeros((n_beams, win_size, kd), real_dtype),
+                        det_valid=np.zeros((n_beams, win_size, kd), bool),
+                    )
+                    buffers[w] = b
+                return b
+
+        def item(acc, pc_a, pc_b, c, b, w, s, start):
+            if start == 0:
+                spec_t = spec_first_fn(pc_a, jnp.int32(b))
+            else:
+                spec_t = spec_pair_fn(pc_a, pc_b, jnp.int32(b), start)
+            rdm_t = mag_fn(spec_t)
+            flags_t, _ = split_det(rdm_t)
+            dets = extract(flags_t, rdm_t)
+            gb = offsets[c] + b
+            buf = _buf(w)
+            buf["rdm"][gb, s] = np.asarray(rdm_t).T
+            buf["flags"][gb, s] = np.asarray(flags_t).T
+            # extraction ran on the transposed layout: indices swap
+            buf["det_v"][gb, s] = np.asarray(dets.r_idx)
+            buf["det_r"][gb, s] = np.asarray(dets.v_idx)
+            buf["det_amp"][gb, s] = np.asarray(dets.amplitude)
+            buf["det_valid"][gb, s] = np.asarray(dets.valid)
+            return acc
+
+        def on_done(w):
+            with buf_lock:
+                b = buffers.pop(w)
+            emit(
+                w, b["rdm"], b["flags"],
+                DetectionList(
+                    v_idx=b["det_v"], r_idx=b["det_r"],
+                    amplitude=b["det_amp"], valid=b["det_valid"],
+                ),
+            )
+
+        pipelined_window_map(
+            frames, pc_fn, starts, item, n_threads, n_chunks=chunks,
+            on_window_done=on_done,
+        )
+
+    return run
 
 
 def make_cpu_flags(

@@ -58,6 +58,7 @@ class StreamingPipeline:
         mesh=None,
         stc_curve_db=None,
         pulses=None,
+        block_windows: int = 6,
     ):
         self.reader = reader
         self.profile = profile
@@ -74,6 +75,8 @@ class StreamingPipeline:
         if use_host_parallel is None:
             use_host_parallel = jax.default_backend() == "cpu"
         n_clutter = clutter_cells(profile, profile.prt_per_frame, clutter_v)
+        self._block_runner = None
+        self._block_windows = 0
         if mesh is not None:
             # mesh streaming: dp over beams, sp slow-time -> range, with the
             # compressed previous frame carried ON DEVICE between windows
@@ -134,29 +137,21 @@ class StreamingPipeline:
             self._detect_stack = detect_stack
         elif use_host_parallel:
             from radar_signal_process_tpu.models.host_parallel import (
-                make_cpu_stream_detector,
+                make_cpu_stream_pipeline,
             )
 
-            # per-frame PC reuse + CFAR + extraction folded into ONE
-            # threaded work queue (measured 4x over composing a separate
-            # detect sweep across the materialized RDM stack)
-            proc = make_cpu_stream_detector(
+            # block-pipelined CPU path: per-frame PC reuse, cross-window
+            # overlap (queue look-ahead) and the fused per-item
+            # CFAR + extraction in one dependency-aware work queue; windows
+            # emit incrementally as they complete (~1.7x over the
+            # window-at-a-time form)
+            self._block_runner = make_cpu_stream_pipeline(
                 profile, win_size, n_clutter,
                 max_detections=max_detections, stc_curve_db=stc_curve_db,
                 pulses=pulses,
             )
-            pending: dict = {}
-
-            def _process(a, b, frame_idx=None):
-                rdms, flags, dets = proc(a, b, frame_idx=frame_idx)
-                pending["fd"] = (flags, dets)
-                return rdms
-
-            self._process = _process
-
-            def detect_stack(rdms):
-                return pending.pop("fd")
-
+            self._block_windows = block_windows
+            detect_stack = None
         else:
             _p = make_frame_processor(profile, win_size,
                                       stc_curve_db=stc_curve_db,
@@ -175,6 +170,10 @@ class StreamingPipeline:
                 return flags, dets
 
         self._detect_stack = detect_stack
+        if self._block_runner is not None:
+            # the producer must stay a block ahead so the next block's
+            # frames are ready when the current one drains
+            prefetch = max(prefetch, block_windows + 1)
         self._queue: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
         self._producer_error: Optional[BaseException] = None
@@ -217,6 +216,91 @@ class StreamingPipeline:
 
     # ------------------------------------------------------------- consumer
     def __iter__(self) -> Iterator[StreamResult]:
+        if self._block_runner is not None:
+            return self._iter_pipelined()
+        return self._iter_windowed()
+
+    def _iter_pipelined(self) -> Iterator[StreamResult]:
+        """Block-pipelined consumer: gather K+1 frames, run them through one
+        dependency-aware queue pass, yield each window as it completes (in
+        frame order), carry the last frame into the next block.  Across
+        blocks the carry frame is recompressed once (1/K overhead); within
+        a block every frame is compressed exactly once."""
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+        k = self._block_windows
+        carry = None            # (idx, frame) — last frame of the prev block
+        eos = False
+        while not eos:
+            block = []
+            base_idx = None
+            if carry is not None:
+                base_idx, first = carry
+                block.append(first)
+            while len(block) < k + 1:
+                t0 = time.perf_counter()
+                item = self._queue.get()
+                self.counters.add("consumer_wait_s", time.perf_counter() - t0)
+                if item is None:
+                    eos = True
+                    break
+                idx, dev = item
+                if base_idx is None:
+                    base_idx = idx
+                elif idx != base_idx + len(block):
+                    # non-consecutive frame: restart pairing from here
+                    block = []
+                    base_idx = idx
+                block.append(dev)
+            if len(block) < 2:
+                break
+            carry = (base_idx + len(block) - 1, block[-1])
+
+            done_q: "queue.Queue[tuple]" = queue.Queue()
+            run_err: list = []
+
+            def _run(frames):
+                try:
+                    self._block_runner(
+                        frames, lambda w, r, f, d: done_q.put((w, r, f, d))
+                    )
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    run_err.append(e)
+                finally:
+                    done_q.put(None)
+
+            # hand frames over through one-shot getters so the queue can
+            # release each raw frame as soon as it is compressed
+            slots = {i: f for i, f in enumerate(block)}
+            getters = [block[0]] + [
+                (lambda i=i: slots.pop(i)) for i in range(1, len(block))
+            ]
+            n_windows = len(block) - 1
+            del block
+            t = threading.Thread(target=_run, args=(getters,), daemon=True)
+            t.start()
+            received: dict = {}
+            next_w = 0
+            while next_w < n_windows:
+                got = done_q.get()
+                if got is None:
+                    break  # runner aborted; fall through to re-raise
+                w, rdms, flags, dets = got
+                received[w] = (rdms, flags, dets)
+                while next_w in received:
+                    rdms, flags, dets = received.pop(next_w)
+                    self.counters.add("windows_processed")
+                    self.counters.add("cfar_hits", int(np.asarray(flags).sum()))
+                    yield StreamResult(base_idx + next_w, rdms, flags, dets)
+                    next_w += 1
+            t.join()
+            if run_err:
+                raise run_err[0]
+        self._thread.join()
+        if self._producer_error is not None:
+            raise self._producer_error
+
+    def _iter_windowed(self) -> Iterator[StreamResult]:
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._thread.start()
         prev = None

@@ -277,3 +277,80 @@ def test_pipelined_window_map_lazy_frames(rng):
     total_w = sum(o for o in want if o is not None)
     total_g = sum(o for o in got if o is not None)
     np.testing.assert_allclose(total_g, total_w, rtol=1e-6)
+
+
+def test_cpu_stream_pipeline_matches_detector(rng):
+    """The block-pipelined runner emits exactly the window-at-a-time
+    detector's outputs (completion-order emission reordered by w)."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_detector,
+        make_cpu_stream_pipeline,
+    )
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+        .astype(np.complex64)
+        for _ in range(4)
+    ]
+    run = make_cpu_stream_pipeline(prof, 4, 4, max_detections=8)
+    got = {}
+
+    def emit(w, rdms, flags, dets):
+        got[w] = (rdms, flags, dets)
+
+    run([jnp.asarray(f) for f in frames], emit)
+    assert sorted(got) == [0, 1, 2]
+
+    det = make_cpu_stream_detector(prof, 4, 4, max_detections=8)
+    for w in range(3):
+        rdms, flags, dets = det(frames[w], frames[w + 1], frame_idx=w)
+        g_rdms, g_flags, g_dets = got[w]
+        np.testing.assert_array_equal(g_rdms, rdms)
+        np.testing.assert_array_equal(g_flags, flags)
+        for b in range(prof.n_beams):
+            for s in range(4):
+                want = {
+                    (int(v), int(r), float(a))
+                    for v, r, a, ok in zip(
+                        dets.v_idx[b, s], dets.r_idx[b, s],
+                        dets.amplitude[b, s], dets.valid[b, s],
+                    ) if ok
+                }
+                have = {
+                    (int(v), int(r), float(a))
+                    for v, r, a, ok in zip(
+                        g_dets.v_idx[b, s], g_dets.r_idx[b, s],
+                        g_dets.amplitude[b, s], g_dets.valid[b, s],
+                    ) if ok
+                }
+                assert have == want, (w, b, s)
+
+
+def test_cpu_stream_pipeline_lazy_frames_and_callback_errors(rng):
+    """Lazy later frames work; an emit exception aborts the run."""
+    import pytest
+
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_pipeline,
+    )
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        jnp.asarray((rng.standard_normal(shape)
+                     + 1j * rng.standard_normal(shape)).astype(np.complex64))
+        for _ in range(3)
+    ]
+    run = make_cpu_stream_pipeline(prof, 4, 4, max_detections=4)
+    seen = []
+    run([frames[0]] + [lambda f=f: f for f in frames[1:]],
+        lambda w, *a: seen.append(w))
+    assert sorted(seen) == [0, 1]
+
+    def boom(w, *a):
+        raise RuntimeError("emit failed")
+
+    with pytest.raises(RuntimeError, match="emit failed"):
+        run(frames, boom)

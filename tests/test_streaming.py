@@ -145,3 +145,40 @@ def test_streaming_all_beam_detection(tmp_path, rng):
     assert pipe.counters.get("cfar_hits") == sum(
         int(np.asarray(r.flags).sum()) for r in results
     )
+
+
+def test_streaming_block_boundaries(tmp_path, rng):
+    """Multiple pipelined blocks: windows stay consecutive across the
+    block-carry boundary and match the single-block run."""
+    import dataclasses
+
+    from radar_signal_process_tpu.config import G2_PROFILE, PROFILES
+    from radar_signal_process_tpu.ingest import G2FrameReader
+    from radar_signal_process_tpu.models.streaming import StreamingPipeline
+    from radar_signal_process_tpu.sim.packets_synth import write_g2_capture
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=32, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        n_channels=2, n_beams=2,
+    )
+    n_frames = 6
+    shape = (n_frames, prof.prt_per_frame, prof.point_prt, prof.n_channels)
+    iq = (rng.integers(-1500, 1500, size=shape).astype(np.float32)
+          + 1j * rng.integers(-1500, 1500, size=shape).astype(np.float32))
+    cap = str(tmp_path / "cap")
+    write_g2_capture(cap, iq, prof, data_type=1)
+
+    def run(block_windows):
+        pipe = StreamingPipeline(
+            G2FrameReader(cap, prof), prof, win_size=2, max_frames=n_frames,
+            block_windows=block_windows,
+        )
+        out = [(r.frame_idx, int(np.asarray(r.flags).sum())) for r in pipe]
+        return out
+
+    small = run(2)   # blocks of 2 windows -> 3 blocks with carry
+    big = run(10)    # single block
+    assert [w for w, _ in small] == list(range(n_frames - 1))
+    assert small == big
