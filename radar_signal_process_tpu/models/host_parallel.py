@@ -14,6 +14,7 @@ the single batched jit (`make_frame_processor` / `make_detector`).
 
 from __future__ import annotations
 
+import heapq
 import os
 import threading
 from typing import Callable, List
@@ -128,10 +129,14 @@ def pipelined_window_map(
     Scheduling: one dependency-aware work queue shared by all threads.  PC
     jobs are per (frame, beam-chunk); slice items for (window w, chunk c)
     become ready when frames w and w+1 both have chunk c compressed.  Ready
-    items are preferred; a thread with no ready item pulls the next PC job,
-    so frame w+1's compression overlaps window w-1's Doppler/CFAR items and
-    no phase barrier ever idles a worker.  Compressed chunks are freed as
-    soon as their last dependent item completes.
+    items are preferred and drawn lowest-window-first (a min-heap), so
+    windows complete in index order — early windows emit early instead of
+    riding to the end of the block (A/B vs the earlier LIFO stack: equal
+    or slightly better throughput, far better streaming latency); a thread
+    with no ready item pulls the next PC job, so frame w+1's compression
+    overlaps window w-1's Doppler/CFAR items and no phase barrier ever
+    idles a worker.  Compressed chunks are freed as soon as their last
+    dependent item completes.
 
     ``item_fn(acc, pc_a, pc_b, chunk_index, beam, w, slice_idx, start) ->
     acc`` runs per item with a per-thread accumulator starting at ``None``;
@@ -173,7 +178,7 @@ def pipelined_window_map(
     pcs: dict = {}                      # (f, c) -> compressed chunk
     pc_jobs = [(f, c) for f in range(n_frames) for c in range(n_chunks)]
     next_pc = [0]
-    ready: list = []                    # ready (w, c, b, s) items, LIFO
+    ready: list = []                    # ready-item min-heap on (w, c, b, s)
     items_left = [n_windows * n_beams * n_slices]
     # remaining items per (w, c) and pc refcounts for freeing
     win_chunk_left = {
@@ -219,7 +224,7 @@ def pipelined_window_map(
                         if ready and not (
                             have_pc and len(ready) > 2 * n_threads
                         ):
-                            job = ("item", ready.pop())
+                            job = ("item", heapq.heappop(ready))
                         elif have_pc:
                             job = ("pc", pc_jobs[next_pc[0]])
                             next_pc[0] += 1
@@ -243,11 +248,9 @@ def pipelined_window_map(
                                 and (w, c) in pcs
                                 and (w + 1, c) in pcs
                             ):
-                                ready.extend(
-                                    (w, c, b, s)
-                                    for b in range(hi - lo)
-                                    for s in range(n_slices)
-                                )
+                                for b in range(hi - lo):
+                                    for s in range(n_slices):
+                                        heapq.heappush(ready, (w, c, b, s))
                         cond.notify_all()
                 else:
                     w, c, b, s = job[1]
