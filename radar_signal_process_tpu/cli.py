@@ -737,6 +737,7 @@ def cmd_stream(args) -> int:
         mesh=mesh,
         stc_curve_db=stc_curve,
         pulses=_parse_match_waveforms(args, profile),
+        block_windows=args.block_windows,
     )
     frames_out = []
     t_prev = _time.perf_counter()
@@ -1147,6 +1148,9 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--dbf-coeffs", default=None)
     st.add_argument("--istc", default=None, metavar="CURVE_TXT",
                     help="iSTC gain compensation curve (fun_iSTC.m)")
+    st.add_argument("--block-windows", type=int, default=6,
+                    help="windows per pipelined CPU block (cross-window "
+                         "overlap span; memory scales with it)")
     st.add_argument("--match-waveform", action="append", default=None,
                     metavar="SEG=PATH[:VAR]",
                     help="measured matched-filter waveform per chirped "
