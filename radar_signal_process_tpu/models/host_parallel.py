@@ -545,6 +545,48 @@ def make_stream_stage_fns(
     )
 
 
+def _make_detect_item(fns, split_det, extract):
+    """Shared per-item detect compute of the two stream paths: CPI-slice
+    spectrum -> magnitude -> split cascade -> extraction, all range-major.
+    ONE definition so the paths cannot desynchronize."""
+    spec_first_fn, spec_pair_fn = fns["spec_first_fn"], fns["spec_pair_fn"]
+    mag_fn = fns["mag_fn"]
+
+    def compute(pc_a, pc_b, b, start):
+        if start == 0:
+            spec_t = spec_first_fn(pc_a, jnp.int32(b))
+        else:
+            spec_t = spec_pair_fn(pc_a, pc_b, jnp.int32(b), start)
+        rdm_t = mag_fn(spec_t)
+        flags_t, _ = split_det(rdm_t)
+        dets = extract(flags_t, rdm_t)
+        return rdm_t, flags_t, dets
+
+    return compute
+
+
+def _alloc_detect_buffers(n_beams, win_size, n_prt, n_pts, kd, real_dtype):
+    return dict(
+        rdm=np.empty((n_beams, win_size, n_prt, n_pts), real_dtype),
+        flags=np.empty((n_beams, win_size, n_prt, n_pts), bool),
+        det_v=np.zeros((n_beams, win_size, kd), np.int32),
+        det_r=np.zeros((n_beams, win_size, kd), np.int32),
+        det_amp=np.zeros((n_beams, win_size, kd), real_dtype),
+        det_valid=np.zeros((n_beams, win_size, kd), bool),
+    )
+
+
+def _write_detect_outputs(buf, gb, s, rdm_t, flags_t, dets):
+    """Transposed-layout result writes, incl. the parity-critical index
+    swap (extraction ran on the (range, velocity) layout)."""
+    buf["rdm"][gb, s] = np.asarray(rdm_t).T
+    buf["flags"][gb, s] = np.asarray(flags_t).T
+    buf["det_v"][gb, s] = np.asarray(dets.r_idx)
+    buf["det_r"][gb, s] = np.asarray(dets.v_idx)
+    buf["det_amp"][gb, s] = np.asarray(dets.amplitude)
+    buf["det_valid"][gb, s] = np.asarray(dets.valid)
+
+
 def make_cpu_stream_detector(
     profile: RadarProfile,
     win_size: int = 4,
@@ -557,14 +599,15 @@ def make_cpu_stream_detector(
 ):
     """Streaming frame processor with CFAR + detection folded into the queue.
 
-    The production CPU stream path: like :func:`make_cpu_stream_processor`
+    The WINDOW-AT-A-TIME form: like :func:`make_cpu_stream_processor`
     (per-frame PC reuse across consecutive windows), but every
     (chunk, beam, slice) work item ALSO runs the split CFAR cascade and the
     per-RDM detection extraction right after its Doppler transform — one
     threaded pass produces RDMs, flags and detections with no second
-    dispatch sweep over a materialized 72 MB stack (measured 4x on the
-    end-to-end stream: the old compose-then-detect form re-uploaded the
-    stack and indexed device arrays eagerly per slice).
+    dispatch sweep over a materialized 72 MB stack.  The production stream
+    path is the block-pipelined :func:`make_cpu_stream_pipeline`, which
+    adds cross-window overlap; use this form when exactly one window is
+    needed per call.
 
     Per-item compute runs in the range-major layout (the FFT emits it free;
     the velocity-dim CFAR then walks the contiguous axis — see CLAUDE.md),
@@ -588,8 +631,7 @@ def make_cpu_stream_detector(
     starts = window_slice_starts(n_prt, win_size)
     fns = make_stream_stage_fns(profile, stc_curve_db=stc_curve_db,
                                 pulses=pulses)
-    pc_fn, mag_fn = fns["pc_fn"], fns["mag_fn"]
-    spec_first_fn, spec_pair_fn = fns["spec_first_fn"], fns["spec_pair_fn"]
+    pc_fn = fns["pc_fn"]
 
     split_det = make_split_detector(
         profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
@@ -598,6 +640,7 @@ def make_cpu_stream_detector(
     extract = jax.jit(
         functools.partial(extract_detections, max_detections=max_detections)
     )
+    compute_item = _make_detect_item(fns, split_det, extract)
 
     cache: dict = {}
 
@@ -609,13 +652,9 @@ def make_cpu_stream_detector(
         bounds = [(i, min(i + k, n_beams)) for i in range(0, n_beams, k)]
         offsets = [lo for lo, _ in bounds]
         real_dtype = np.float64 if now.dtype == jnp.complex128 else np.float32
-        out_rdm = np.empty((n_beams, win_size, n_prt, n_pts), dtype=real_dtype)
-        out_flags = np.empty((n_beams, win_size, n_prt, n_pts), dtype=bool)
         kd = min(max_detections, n_prt * n_pts)
-        det_v = np.zeros((n_beams, win_size, kd), dtype=np.int32)
-        det_r = np.zeros((n_beams, win_size, kd), dtype=np.int32)
-        det_amp = np.zeros((n_beams, win_size, kd), dtype=real_dtype)
-        det_valid = np.zeros((n_beams, win_size, kd), dtype=bool)
+        buf = _alloc_detect_buffers(n_beams, win_size, n_prt, n_pts, kd,
+                                    real_dtype)
 
         probe = np.asarray(now[:1, :2, :8])
         hit = cache.pop(frame_idx, None) if frame_idx is not None else None
@@ -648,24 +687,11 @@ def make_cpu_stream_detector(
                 if j >= len(items):
                     return
                 ci, b, w, start = items[j]
-                if start == 0:
-                    spec_t = spec_first_fn(pcs_now[ci], jnp.int32(b))
-                else:
-                    spec_t = spec_pair_fn(
-                        pcs_now[ci], pcs_nxt[ci], jnp.int32(b), start
-                    )
-                rdm_t = mag_fn(spec_t)
-                flags_t, _ = split_det(rdm_t)
-                dets = extract(flags_t, rdm_t)
-                gb = offsets[ci] + b
-                out_rdm[gb, w] = np.asarray(rdm_t).T
-                out_flags[gb, w] = np.asarray(flags_t).T
-                # extraction ran on the transposed layout, so its "v" index
-                # is the range cell and vice versa
-                det_v[gb, w] = np.asarray(dets.r_idx)
-                det_r[gb, w] = np.asarray(dets.v_idx)
-                det_amp[gb, w] = np.asarray(dets.amplitude)
-                det_valid[gb, w] = np.asarray(dets.valid)
+                rdm_t, flags_t, dets = compute_item(
+                    pcs_now[ci], pcs_nxt[ci], b, start
+                )
+                _write_detect_outputs(buf, offsets[ci] + b, w, rdm_t,
+                                      flags_t, dets)
 
         _thread_map(work, n_threads)
         if frame_idx is not None:
@@ -674,9 +700,10 @@ def make_cpu_stream_detector(
         from radar_signal_process_tpu.ops.measure import DetectionList
 
         dets_all = DetectionList(
-            v_idx=det_v, r_idx=det_r, amplitude=det_amp, valid=det_valid
+            v_idx=buf["det_v"], r_idx=buf["det_r"],
+            amplitude=buf["det_amp"], valid=buf["det_valid"],
         )
-        return out_rdm, out_flags, dets_all
+        return buf["rdm"], buf["flags"], dets_all
 
     return process
 
@@ -704,7 +731,10 @@ def make_cpu_stream_pipeline(
     cubes (``frames[0]`` must be materialized; later entries may be
     callables for live ingest), ``emit(w, rdms, flags, dets)`` fires once
     per window in COMPLETION order (callers reorder by ``w``) with the
-    same array contracts as ``make_cpu_stream_detector``.
+    same array contracts as ``make_cpu_stream_detector``.  ``emit`` may be
+    invoked CONCURRENTLY from different worker threads (two windows can
+    finish simultaneously) — hand off through a thread-safe sink such as
+    ``queue.Queue``.
     """
     import functools
 
@@ -721,8 +751,7 @@ def make_cpu_stream_pipeline(
     starts = window_slice_starts(n_prt, win_size)
     fns = make_stream_stage_fns(profile, stc_curve_db=stc_curve_db,
                                 pulses=pulses)
-    pc_fn, mag_fn = fns["pc_fn"], fns["mag_fn"]
-    spec_first_fn, spec_pair_fn = fns["spec_first_fn"], fns["spec_pair_fn"]
+    pc_fn = fns["pc_fn"]
     split_det = make_split_detector(
         profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
         transposed=True,
@@ -730,6 +759,7 @@ def make_cpu_stream_pipeline(
     extract = jax.jit(
         functools.partial(extract_detections, max_detections=max_detections)
     )
+    compute_item = _make_detect_item(fns, split_det, extract)
 
     def run(frames, emit) -> None:
         first = frames[0]
@@ -753,36 +783,16 @@ def make_cpu_stream_pipeline(
             with buf_lock:
                 b = buffers.get(w)
                 if b is None:
-                    b = dict(
-                        rdm=np.empty((n_beams, win_size, n_prt, n_pts),
-                                     real_dtype),
-                        flags=np.empty((n_beams, win_size, n_prt, n_pts),
-                                       bool),
-                        det_v=np.zeros((n_beams, win_size, kd), np.int32),
-                        det_r=np.zeros((n_beams, win_size, kd), np.int32),
-                        det_amp=np.zeros((n_beams, win_size, kd), real_dtype),
-                        det_valid=np.zeros((n_beams, win_size, kd), bool),
+                    b = _alloc_detect_buffers(
+                        n_beams, win_size, n_prt, n_pts, kd, real_dtype
                     )
                     buffers[w] = b
                 return b
 
         def item(acc, pc_a, pc_b, c, b, w, s, start):
-            if start == 0:
-                spec_t = spec_first_fn(pc_a, jnp.int32(b))
-            else:
-                spec_t = spec_pair_fn(pc_a, pc_b, jnp.int32(b), start)
-            rdm_t = mag_fn(spec_t)
-            flags_t, _ = split_det(rdm_t)
-            dets = extract(flags_t, rdm_t)
-            gb = offsets[c] + b
-            buf = _buf(w)
-            buf["rdm"][gb, s] = np.asarray(rdm_t).T
-            buf["flags"][gb, s] = np.asarray(flags_t).T
-            # extraction ran on the transposed layout: indices swap
-            buf["det_v"][gb, s] = np.asarray(dets.r_idx)
-            buf["det_r"][gb, s] = np.asarray(dets.v_idx)
-            buf["det_amp"][gb, s] = np.asarray(dets.amplitude)
-            buf["det_valid"][gb, s] = np.asarray(dets.valid)
+            rdm_t, flags_t, dets = compute_item(pc_a, pc_b, b, start)
+            _write_detect_outputs(_buf(w), offsets[c] + b, s, rdm_t,
+                                  flags_t, dets)
             return acc
 
         def on_done(w):

@@ -75,6 +75,8 @@ class StreamingPipeline:
         if use_host_parallel is None:
             use_host_parallel = jax.default_backend() == "cpu"
         n_clutter = clutter_cells(profile, profile.prt_per_frame, clutter_v)
+        if block_windows < 1:
+            raise ValueError(f"block_windows must be >= 1, got {block_windows}")
         self._block_runner = None
         self._block_windows = 0
         if mesh is not None:
@@ -237,6 +239,7 @@ class StreamingPipeline:
             if carry is not None:
                 base_idx, first = carry
                 block.append(first)
+            carry = None
             while len(block) < k + 1:
                 t0 = time.perf_counter()
                 item = self._queue.get()
@@ -248,13 +251,19 @@ class StreamingPipeline:
                 if base_idx is None:
                     base_idx = idx
                 elif idx != base_idx + len(block):
-                    # non-consecutive frame: restart pairing from here
-                    block = []
-                    base_idx = idx
+                    # non-consecutive frame: close the current block (its
+                    # gathered windows still process, matching the windowed
+                    # iterator's skip-the-gap semantics) and start the next
+                    # block at the new frame
+                    carry = (idx, dev)
+                    break
                 block.append(dev)
             if len(block) < 2:
-                break
-            carry = (base_idx + len(block) - 1, block[-1])
+                if eos:
+                    break
+                continue
+            if carry is None:
+                carry = (base_idx + len(block) - 1, block[-1])
 
             done_q: "queue.Queue[tuple]" = queue.Queue()
             run_err: list = []

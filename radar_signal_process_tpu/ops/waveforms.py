@@ -106,7 +106,16 @@ def pulses_with_overrides(
                 f"segment {seg} is the FIR narrow-pulse path; only chirped "
                 "segments take a matched-filter waveform"
             )
-        wf = np.asarray(wf).ravel().astype(np.complex128)
+        wf = np.squeeze(np.asarray(wf))
+        if wf.ndim > 1:
+            # same guard as load_measured_pulse, applied where ALL waveform
+            # inputs converge: raveling a 2-D table would matched-filter
+            # against interleaved garbage
+            raise ValueError(
+                f"measured waveform for segment {seg} has shape "
+                f"{wf.shape}; expected one 1-D complex vector"
+            )
+        wf = np.atleast_1d(wf).astype(np.complex128)
         if len(wf) == 0:
             raise ValueError(f"measured waveform for segment {seg} is empty")
         if len(wf) > profile.segment_points[seg]:

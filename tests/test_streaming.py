@@ -182,3 +182,51 @@ def test_streaming_block_boundaries(tmp_path, rng):
     big = run(10)    # single block
     assert [w for w, _ in small] == list(range(n_frames - 1))
     assert small == big
+
+
+def test_streaming_pipelined_gap_and_validation(tmp_path, rng):
+    """A non-consecutive frame closes the current block (its windows still
+    process, like the windowed iterator's skip-the-gap), and block_windows
+    < 1 fails loud instead of hanging."""
+    import dataclasses
+
+    import pytest
+
+    from radar_signal_process_tpu.config import G2_PROFILE
+    from radar_signal_process_tpu.models.streaming import StreamingPipeline
+
+    prof = dataclasses.replace(
+        G2_PROFILE, prt_per_frame=16, point_prt=344,
+        segment_points=(24, 80, 240),
+        cfar_segments=((0, 24), (24, 104), (104, 344)),
+        n_channels=2, n_beams=2,
+    )
+
+    class _NoReader:
+        def read_frame(self, idx):
+            raise AssertionError("producer is monkeypatched")
+
+    with pytest.raises(ValueError, match="block_windows"):
+        StreamingPipeline(_NoReader(), prof, block_windows=0)
+
+    pipe = StreamingPipeline(_NoReader(), prof, win_size=2, max_frames=100)
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+
+    def frame():
+        import jax.numpy as jnp
+
+        return jnp.asarray(
+            (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        )
+
+    seq = [(0, frame()), (1, frame()), (2, frame()),
+           (5, frame()), (6, frame())]
+
+    def fake_produce():
+        for idx, f in seq:
+            pipe._queue.put((idx, f))
+
+    pipe._produce_inner = fake_produce
+    windows = [r.frame_idx for r in pipe]
+    assert windows == [0, 1, 5]
