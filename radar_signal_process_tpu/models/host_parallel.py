@@ -835,7 +835,11 @@ def make_cpu_flags(
     )
 
     def flags_fn(rdms) -> tuple[np.ndarray, np.ndarray]:
-        rdms = jnp.asarray(rdms)
+        # host-side views, NOT device-array reshaping: eager indexing of a
+        # device array dispatches a slice executable and copies per j
+        # (CLAUDE.md round-2 finding); numpy views are free and the jitted
+        # detector uploads each 2-D RDM exactly once either way
+        rdms = np.asarray(rdms)
         batch_shape = rdms.shape[:-2]
         flat = rdms.reshape((-1,) + rdms.shape[-2:])
         n = flat.shape[0]
