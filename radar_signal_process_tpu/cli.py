@@ -492,7 +492,12 @@ def cmd_detect(args) -> int:
             rdm_arr, _, meta = _load_rdms(args.input, frame_idx, profile)
         except FileNotFoundError:
             break
-        rdms = jnp.asarray(rdm_arr)
+        import jax as _jax
+
+        # CPU: keep the stack host-side — make_cpu_flags slices numpy views
+        # and each per-RDM executable uploads its own input exactly once
+        # (wrapping in jnp first would add a full round-trip)
+        rdms = rdm_arr if _jax.default_backend() == "cpu" else jnp.asarray(rdm_arr)
         if detector is None:
             import dataclasses as dc
 
