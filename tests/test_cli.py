@@ -616,3 +616,34 @@ def test_cli_stream_istc_and_match_waveform(tmp_path, capsys, monkeypatch):
     nc = clutter_cells(tinys, tinys.prt_per_frame, 3.0)
     flags, _ = make_cpu_flags(tinys, nc)(rdms)
     assert out["frames"][0]["cfar_hits"] == int(flags.sum())
+
+
+def test_cli_detect_mat_spectral_width_warns_once(tmp_path, capsys, caplog):
+    """--format mat cannot persist widths: one warning, computation skipped,
+    the cfarFlag variables still written."""
+    import logging
+
+    import scipy.io as sio
+
+    from radar_signal_process_tpu.utils import matbus
+
+    cap = str(tmp_path / "capture")
+    frames_dir = str(tmp_path / "frames")
+    rdm_dir = str(tmp_path / "rdm")
+    det_dir = str(tmp_path / "det")
+    cli.main(["simulate", "--output", cap, "--profile", "TINY", "--frames",
+              "3", "--velocity", "4.0", "--range", "60", "--scr", "25"])
+    cli.main(["ingest", "--input", cap, "--output", frames_dir,
+              "--profile", "TINY", "--frames", "3"])
+    cli.main(["mtd", "--input", frames_dir, "--output", rdm_dir,
+              "--profile", "TINY", "--frames", "2", "--win-size", "2"])
+    with caplog.at_level(logging.WARNING, logger="radar_tpu.cli"):
+        assert cli.main([
+            "detect", "--input", rdm_dir, "--output", det_dir, "--profile",
+            "TINY", "--frames", "2", "--threshold", "5", "--format", "mat",
+            "--spectral-width-db", "-15.0",
+        ]) == 0
+    warnings = [r for r in caplog.records if "spectral widths" in r.message]
+    assert len(warnings) == 1
+    m = sio.loadmat(matbus.mat_frame_path(det_dir, 0))
+    assert any(k.startswith("cfarFlag_win_") for k in m)
