@@ -50,10 +50,16 @@ def pc_matrix_freq_domain(
     ``match_spec`` is the frequency-domain matched filter (the reference's
     ``matchF2 = conj(fft(win .* matchWaveform, 512))``, ``:200-202``).
     Host-built in float64, used as two f32 planes by the kernel.
+
+    MATLAB ``fft(x, n)`` (and ``jnp.fft.fft(x, n)``) TRUNCATES to the first
+    ``n`` samples when ``len(x) > n``; the forward-DFT rows for samples
+    ``p >= n_fft`` are therefore zeroed rather than aliased (folding them
+    would silently diverge for any profile with ``n_in > n_fft``).
     """
     p = np.arange(n_in)[:, None]
     k = np.arange(n_fft)[None, :]
     fwd = np.exp(-2j * np.pi * p * k / n_fft)          # (n_in, n_fft)
+    fwd[n_fft:, :] = 0.0                               # fft(x, n) truncation
     n = np.arange(n_fft)[None, :]
     inv = np.exp(2j * np.pi * k.T * n / n_fft) / n_fft  # (n_fft, n_fft)
     return (fwd * np.asarray(match_spec)[None, :]) @ inv
@@ -157,6 +163,22 @@ def _pad_to(x: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return np.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
 
 
+def _stream_chunk(n_prt: int) -> tuple[int, int]:
+    """(padded slow-time extent, DMA chunk rows) for the streaming P compute.
+
+    The PRT axis pads up to a multiple of 8 (f32 sublane granule) and the
+    chunk is the largest divisor <= 256 of the padded extent — so the VMEM
+    slot can never degenerate to the whole echo plane, which OOMs the
+    scoped-VMEM budget for large planes (ADVICE r4; e.g. the G2 332-row
+    geometry now streams as 21 x 16-row chunks instead of one 332-row
+    slot).  Zero slow-time rows compress to zero and the matching Doppler
+    DFT columns are zeroed, so the padded contraction is exact.
+    """
+    n_prt_pad = -(-n_prt // 8) * 8
+    chunk = next(c for c in (256, 128, 64, 32, 16, 8) if n_prt_pad % c == 0)
+    return n_prt_pad, chunk
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "tile_k", "tile_r", "interpret"),
@@ -168,12 +190,20 @@ def _fused_call(xre, xim, wre, wim, mre, mim, n_fft, tile_k, tile_r,
     k_tiles = n_fft // tile_k
     r_tiles = n_out_pad // tile_r
     use_dma = not interpret
-    # slow-time streaming chunk for the P compute (largest divisor <= 256)
-    chunk = n_prt
-    for c in (256, 128, 64, 32, 16, 8):
-        if n_prt % c == 0:
-            chunk = c
-            break
+    if use_dma:
+        # pad the PRT axis (exact — zero rows / zero DFT columns) so the
+        # chunked DMA stream always fits the VMEM slot budget
+        n_prt_pad, chunk = _stream_chunk(n_prt)
+        if n_prt_pad != n_prt:
+            pad_rows = ((0, 0), (0, n_prt_pad - n_prt), (0, 0))
+            xre = jnp.pad(xre, pad_rows)
+            xim = jnp.pad(xim, pad_rows)
+            pad_cols = ((0, 0), (0, n_prt_pad - n_prt))
+            wre = jnp.pad(wre, pad_cols)
+            wim = jnp.pad(wim, pad_cols)
+            n_prt = n_prt_pad
+    else:
+        chunk = n_prt  # interpreter parity path: no streaming, no padding
     kernel = _make_kernel(use_dma, chunk, n_prt // chunk)
     if use_dma:
         # echo planes stay in HBM, streamed chunkwise by the kernel

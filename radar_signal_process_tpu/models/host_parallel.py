@@ -282,6 +282,21 @@ def pipelined_window_map(
     return out
 
 
+def _frame_probe(frame) -> np.ndarray:
+    """Strided content sample of a frame for the frame_idx PC-reuse cache.
+
+    Spans every beam and the full PRT/range extent (a few KB), so frames
+    that agree only in their leading samples — e.g. blanked/zero leading
+    range cells, common in real captures — cannot silently reuse stale
+    pulse-compression results (ADVICE r4: the old 16-sample corner probe
+    missed bodies differing beyond the first samples).
+    """
+    f = jnp.asarray(frame)
+    sp = max(1, f.shape[-2] // 7)
+    ss = max(1, f.shape[-1] // 23)
+    return np.asarray(f[..., ::sp, ::ss])
+
+
 def make_cpu_frame_processor(
     profile: RadarProfile, win_size: int = 4, stc_curve_db=None, pulses=None
 ):
@@ -418,9 +433,9 @@ def make_cpu_stream_processor(
         out = np.empty((n_beams, win_size, n_prt, n_pts), dtype=real_dtype)
 
         # the cache trusts frame_idx to mean "the same frame data as last
-        # call's frame_next"; a tiny content probe guards against callers
+        # call's frame_next"; a strided content probe guards against callers
         # reusing indices for different data (silent wrong results)
-        probe = np.asarray(now[:1, :2, :8])
+        probe = _frame_probe(now)
         hit = cache.pop(frame_idx, None) if frame_idx is not None else None
         if hit is not None and np.array_equal(hit[1], probe):
             pcs_now = hit[0]
@@ -466,7 +481,7 @@ def make_cpu_stream_processor(
         _thread_map(work, n_threads)
         if frame_idx is not None:
             cache.clear()
-            cache[frame_idx + 1] = (pcs_nxt, np.asarray(nxt[:1, :2, :8]))
+            cache[frame_idx + 1] = (pcs_nxt, _frame_probe(nxt))
         return out
 
     return process
@@ -656,7 +671,7 @@ def make_cpu_stream_detector(
         buf = _alloc_detect_buffers(n_beams, win_size, n_prt, n_pts, kd,
                                     real_dtype)
 
-        probe = np.asarray(now[:1, :2, :8])
+        probe = _frame_probe(now)
         hit = cache.pop(frame_idx, None) if frame_idx is not None else None
         if hit is not None and np.array_equal(hit[1], probe):
             pcs_now = hit[0]
@@ -696,7 +711,7 @@ def make_cpu_stream_detector(
         _thread_map(work, n_threads)
         if frame_idx is not None:
             cache.clear()
-            cache[frame_idx + 1] = (pcs_nxt, np.asarray(nxt[:1, :2, :8]))
+            cache[frame_idx + 1] = (pcs_nxt, _frame_probe(nxt))
         from radar_signal_process_tpu.ops.measure import DetectionList
 
         dets_all = DetectionList(

@@ -354,3 +354,33 @@ def test_cpu_stream_pipeline_lazy_frames_and_callback_errors(rng):
 
     with pytest.raises(RuntimeError, match="emit failed"):
         run(frames, boom)
+
+
+def test_stream_detector_probe_rejects_corner_identical_frames(rng):
+    """Frames identical in their leading samples but different in the body
+    must NOT reuse stale pulse-compression results (ADVICE r4: the old
+    16-sample corner probe missed exactly this class)."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_detector,
+    )
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+
+    def frame():
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    f0, f1, f2 = frame(), frame(), frame()
+    # f1_bad: identical leading corner (beam 0, first rows/samples), body
+    # differs everywhere else
+    f1_bad = frame()
+    f1_bad[:1, :4, :16] = f1[:1, :4, :16]
+
+    det = make_cpu_stream_detector(prof, 4, 4, max_detections=8)
+    det(f0, f1, frame_idx=0)             # caches f1's compression as idx 1
+    got = det(f1_bad, f2, frame_idx=1)   # must detect the content mismatch
+    fresh = make_cpu_stream_detector(prof, 4, 4, max_detections=8)
+    want = fresh(f1_bad, f2)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])

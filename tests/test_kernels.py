@@ -367,3 +367,36 @@ def test_fused_pc_rdm_rejects_bad_shapes(rng):
                             interpret=True)
     with pytest.raises(ValueError, match="multiple of tile_k"):
         fused_pc_rdm_pallas(echo, m, np.hamming(64), 200, interpret=True)
+
+
+def test_pc_matrix_freq_domain_truncates_like_fft(rng):
+    """fft(x, n) truncates to x[:n]; the matrix must reproduce that, not
+    alias samples beyond n_fft (ADVICE r4)."""
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import (
+        pc_matrix_freq_domain,
+    )
+
+    n_in, n_fft = 20, 16
+    spec = rng.standard_normal(n_fft) + 1j * rng.standard_normal(n_fft)
+    m = pc_matrix_freq_domain(spec, n_in, n_fft)
+    x = rng.standard_normal(n_in) + 1j * rng.standard_normal(n_in)
+    want = np.fft.ifft(np.fft.fft(x[:n_fft], n_fft) * spec)
+    np.testing.assert_allclose(x @ m, want, rtol=1e-10, atol=1e-10)
+    # and the no-truncation case still matches the zero-padded transform
+    m2 = pc_matrix_freq_domain(spec, 12, n_fft)
+    want2 = np.fft.ifft(np.fft.fft(x[:12], n_fft) * spec)
+    np.testing.assert_allclose(x[:12] @ m2, want2, rtol=1e-10, atol=1e-10)
+
+
+def test_stream_chunk_never_whole_plane():
+    """The DMA slot picker pads the PRT axis instead of falling back to a
+    whole-plane slot (which OOMs scoped VMEM on the v5e — ADVICE r4)."""
+    from radar_signal_process_tpu.kernels.pc_rdm_pallas import _stream_chunk
+
+    assert _stream_chunk(1536) == (1536, 256)   # G0: exact multiple
+    assert _stream_chunk(332) == (336, 16)      # G2: pad 4 rows, 21 chunks
+    assert _stream_chunk(256) == (256, 256)
+    assert _stream_chunk(5) == (8, 8)           # tiny geometry
+    for n in (7, 83, 331, 332, 1000, 2048):
+        pad, chunk = _stream_chunk(n)
+        assert pad >= n and pad % chunk == 0 and chunk <= 256
