@@ -743,6 +743,7 @@ def cmd_stream(args) -> int:
         stc_curve_db=stc_curve,
         pulses=_parse_match_waveforms(args, profile),
         block_windows=args.block_windows,
+        emit=args.emit,
     )
     frames_out = []
     t_prev = _time.perf_counter()
@@ -752,7 +753,7 @@ def cmd_stream(args) -> int:
         frames_out.append({
             "frame": res.frame_idx,
             "window_latency_ms": round((now - t_prev) * 1e3, 1),
-            "cfar_hits": int(np.asarray(res.flags).sum()),
+            "cfar_hits": res.cfar_hits,
             "detections_per_beam": valid.any(axis=-1).sum(axis=-1).tolist(),
         })
         t_prev = now
@@ -1156,6 +1157,13 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--block-windows", type=int, default=6,
                     help="windows per pipelined CPU block (cross-window "
                          "overlap span; memory scales with it)")
+    st.add_argument("--emit", default="full",
+                    choices=("detections", "flags", "full"),
+                    help="per-window emission: 'detections' skips the "
+                         "RDM+flag stack materialization entirely (the "
+                         "reference's stage 3 persists flags/detections, "
+                         "not RDMs — main_cfar.m:82-97); detections and "
+                         "hit counters are identical across modes")
     st.add_argument("--match-waveform", action="append", default=None,
                     metavar="SEG=PATH[:VAR]",
                     help="measured matched-filter waveform per chirped "

@@ -580,22 +580,52 @@ def _make_detect_item(fns, split_det, extract):
     return compute
 
 
-def _alloc_detect_buffers(n_beams, win_size, n_prt, n_pts, kd, real_dtype):
-    return dict(
-        rdm=np.empty((n_beams, win_size, n_prt, n_pts), real_dtype),
-        flags=np.empty((n_beams, win_size, n_prt, n_pts), bool),
+EMIT_MODES = ("detections", "flags", "full")
+
+# per-plane cascade-hit count, summed ON DEVICE so reduced emission modes
+# never materialize the bool plane host-side
+_flags_hits = jax.jit(lambda f: jnp.sum(f, dtype=jnp.int32))
+
+
+def _alloc_detect_buffers(n_beams, win_size, n_prt, n_pts, kd, real_dtype,
+                          emit="full"):
+    """Per-window numpy result buffers for the requested emission mode.
+
+    ``full`` materializes the RDM + flag stacks (~290 MB of numpy writes
+    per window at G2 geometry); ``flags`` drops the RDM planes;
+    ``detections`` drops both and keeps only the per-(beam, slice)
+    DetectionList plus a per-plane CFAR-hit counter.  The reference's
+    stage 3 persists only flag matrices (``main_cfar.m:97``) — RDM
+    persistence is a stage-2 choice (``main_produce_dataset_win_xzr_v2.m:
+    160-162``) — so a live detections-first chain need not pay the
+    full-stack materialization.
+    """
+    buf = dict(
         det_v=np.zeros((n_beams, win_size, kd), np.int32),
         det_r=np.zeros((n_beams, win_size, kd), np.int32),
         det_amp=np.zeros((n_beams, win_size, kd), real_dtype),
         det_valid=np.zeros((n_beams, win_size, kd), bool),
     )
+    if emit == "full":
+        buf["rdm"] = np.empty((n_beams, win_size, n_prt, n_pts), real_dtype)
+    if emit in ("full", "flags"):
+        buf["flags"] = np.empty((n_beams, win_size, n_prt, n_pts), bool)
+    else:
+        buf["hits"] = np.zeros((n_beams, win_size), np.int64)
+    return buf
 
 
 def _write_detect_outputs(buf, gb, s, rdm_t, flags_t, dets):
     """Transposed-layout result writes, incl. the parity-critical index
-    swap (extraction ran on the (range, velocity) layout)."""
-    buf["rdm"][gb, s] = np.asarray(rdm_t).T
-    buf["flags"][gb, s] = np.asarray(flags_t).T
+    swap (extraction ran on the (range, velocity) layout).  Only the
+    planes the emission mode allocated are materialized; reduced modes
+    replace the flag plane with its on-device hit count."""
+    if "rdm" in buf:
+        buf["rdm"][gb, s] = np.asarray(rdm_t).T
+    if "flags" in buf:
+        buf["flags"][gb, s] = np.asarray(flags_t).T
+    else:
+        buf["hits"][gb, s] = int(_flags_hits(flags_t))
     buf["det_v"][gb, s] = np.asarray(dets.r_idx)
     buf["det_r"][gb, s] = np.asarray(dets.v_idx)
     buf["det_amp"][gb, s] = np.asarray(dets.amplitude)
@@ -733,6 +763,7 @@ def make_cpu_stream_pipeline(
     renotch_divisor: int | None = 20,
     pulses=None,
     n_chunks: int | None = None,
+    emit: str = "full",
 ):
     """Block-pipelined stream runner: windows emit as they complete.
 
@@ -742,13 +773,21 @@ def make_cpu_stream_pipeline(
     fused per-item CFAR + extraction), and each finished window is emitted
     through a callback instead of materializing at a per-window barrier.
 
-    Returns ``run(frames, emit)``: ``frames`` is a list of per-frame beam
-    cubes (``frames[0]`` must be materialized; later entries may be
-    callables for live ingest), ``emit(w, rdms, flags, dets)`` fires once
-    per window in COMPLETION order (callers reorder by ``w``) with the
-    same array contracts as ``make_cpu_stream_detector``.  ``emit`` may be
-    invoked CONCURRENTLY from different worker threads (two windows can
-    finish simultaneously) — hand off through a thread-safe sink such as
+    ``emit`` selects the emission mode (see :func:`_alloc_detect_buffers`):
+    ``"full"`` materializes RDM + flag stacks, ``"flags"`` drops the RDMs,
+    ``"detections"`` materializes neither — detections and hit counts are
+    bit-identical across modes (the device-side compute is unchanged; only
+    the numpy writes differ).
+
+    Returns ``run(frames, emit_cb)``: ``frames`` is a list of per-frame
+    beam cubes (``frames[0]`` must be materialized; later entries may be
+    callables for live ingest), ``emit_cb(w, rdms, flags, dets, hits)``
+    fires once per window in COMPLETION order (callers reorder by ``w``)
+    with the same array contracts as ``make_cpu_stream_detector``;
+    ``rdms``/``flags`` are ``None`` when the mode drops them and ``hits``
+    is the window's total cascade-flag count.  ``emit_cb`` may be invoked
+    CONCURRENTLY from different worker threads (two windows can finish
+    simultaneously) — hand off through a thread-safe sink such as
     ``queue.Queue``.
     """
     import functools
@@ -760,6 +799,8 @@ def make_cpu_stream_pipeline(
         extract_detections,
     )
 
+    if emit not in EMIT_MODES:
+        raise ValueError(f"emit must be one of {EMIT_MODES}, got {emit!r}")
     cfg = cfg or profile.cfar
     n_threads = max(1, min(os.cpu_count() or 1, profile.n_beams))
     n_prt = profile.prt_per_frame
@@ -775,8 +816,9 @@ def make_cpu_stream_pipeline(
         functools.partial(extract_detections, max_detections=max_detections)
     )
     compute_item = _make_detect_item(fns, split_det, extract)
+    emit_mode = emit
 
-    def run(frames, emit) -> None:
+    def run(frames, emit_cb) -> None:
         first = frames[0]
         if callable(first):
             raise ValueError("frames[0] must be a materialized array")
@@ -799,7 +841,8 @@ def make_cpu_stream_pipeline(
                 b = buffers.get(w)
                 if b is None:
                     b = _alloc_detect_buffers(
-                        n_beams, win_size, n_prt, n_pts, kd, real_dtype
+                        n_beams, win_size, n_prt, n_pts, kd, real_dtype,
+                        emit=emit_mode,
                     )
                     buffers[w] = b
                 return b
@@ -813,12 +856,15 @@ def make_cpu_stream_pipeline(
         def on_done(w):
             with buf_lock:
                 b = buffers.pop(w)
-            emit(
-                w, b["rdm"], b["flags"],
+            hits = (int(b["hits"].sum()) if "hits" in b
+                    else int(b["flags"].sum()))
+            emit_cb(
+                w, b.get("rdm"), b.get("flags"),
                 DetectionList(
                     v_idx=b["det_v"], r_idx=b["det_r"],
                     amplitude=b["det_amp"], valid=b["det_valid"],
                 ),
+                hits,
             )
 
         pipelined_window_map(

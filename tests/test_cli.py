@@ -392,6 +392,17 @@ def test_cli_stream(tmp_path, capsys, monkeypatch):
         assert f["cfar_hits"] > 0
         assert len(f["detections_per_beam"]) == 2  # per-beam counts
 
+    # --emit detections: no RDM/flag stacks materialize, but the hit
+    # counters and detection counts are identical (VERDICT r5 item 1)
+    assert cli.main([
+        "stream", "--input", cap, "--profile", "TINYS", "--frames", "4",
+        "--win-size", "2", "--emit", "detections",
+    ]) == 0
+    out_det = json.loads(capsys.readouterr().out)
+    for fd, fh in zip(out_det["frames"], out["frames"]):
+        assert fd["cfar_hits"] == fh["cfar_hits"]
+        assert fd["detections_per_beam"] == fh["detections_per_beam"]
+
     # --mesh: dp over beams, sp slow-time->range, on-device PC-reuse carry;
     # the per-frame hit counts match the host streaming path
     assert cli.main([

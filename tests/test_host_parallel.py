@@ -297,8 +297,9 @@ def test_cpu_stream_pipeline_matches_detector(rng):
     run = make_cpu_stream_pipeline(prof, 4, 4, max_detections=8)
     got = {}
 
-    def emit(w, rdms, flags, dets):
+    def emit(w, rdms, flags, dets, hits):
         got[w] = (rdms, flags, dets)
+        assert hits == int(flags.sum())
 
     run([jnp.asarray(f) for f in frames], emit)
     assert sorted(got) == [0, 1, 2]
@@ -384,3 +385,56 @@ def test_stream_detector_probe_rejects_corner_identical_frames(rng):
     want = fresh(f1_bad, f2)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_cpu_stream_pipeline_emission_modes_parity(rng):
+    """'detections' and 'flags' modes emit bit-identical detections and hit
+    counts to 'full' (VERDICT r5 item 1: the device compute is unchanged,
+    only the numpy materialization differs)."""
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_pipeline,
+    )
+
+    prof = SMALL
+    shape = (prof.n_beams, prof.prt_per_frame, prof.point_prt)
+    frames = [
+        jnp.asarray((rng.standard_normal(shape)
+                     + 1j * rng.standard_normal(shape)).astype(np.complex64))
+        for _ in range(4)
+    ]
+
+    def collect(emit_mode):
+        run = make_cpu_stream_pipeline(prof, 4, 4, max_detections=8,
+                                       emit=emit_mode)
+        got = {}
+        run(frames, lambda w, r, f, d, h: got.__setitem__(w, (r, f, d, h)))
+        return got
+
+    full = collect("full")
+    for mode in ("flags", "detections"):
+        got = collect(mode)
+        assert sorted(got) == sorted(full) == [0, 1, 2]
+        for w in full:
+            r_f, f_f, d_f, h_f = full[w]
+            r_m, f_m, d_m, h_m = got[w]
+            assert r_m is None
+            if mode == "detections":
+                assert f_m is None
+            else:
+                np.testing.assert_array_equal(f_m, f_f)
+            assert h_m == h_f == int(f_f.sum())
+            np.testing.assert_array_equal(d_m.v_idx, d_f.v_idx)
+            np.testing.assert_array_equal(d_m.r_idx, d_f.r_idx)
+            np.testing.assert_array_equal(d_m.amplitude, d_f.amplitude)
+            np.testing.assert_array_equal(d_m.valid, d_f.valid)
+
+
+def test_cpu_stream_pipeline_rejects_bad_emit():
+    import pytest
+
+    from radar_signal_process_tpu.models.host_parallel import (
+        make_cpu_stream_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="emit"):
+        make_cpu_stream_pipeline(SMALL, 4, 4, emit="rdm")
