@@ -400,3 +400,52 @@ def test_stream_chunk_never_whole_plane():
     for n in (7, 83, 331, 332, 1000, 2048):
         pad, chunk = _stream_chunk(n)
         assert pad >= n and pad % chunk == 0 and chunk <= 256
+
+
+def test_kernel_cost_models_pin_docs_table():
+    """The traffic-model projections (kernels/cost_model.py) reproduce the
+    roofline table in docs/tpu_design.md — and the judged bench derives
+    sol_ms_v5e_fused_kernel from them instead of a hard-coded constant
+    (VERDICT r4 item 4)."""
+    from radar_signal_process_tpu.kernels.cost_model import (
+        V5E_HBM_BPS,
+        V5E_PEAK_F32,
+        cascaded_cfar_cost,
+        fused_pc_rdm_cost,
+        g2_frame_fused_cfar_projection,
+        rdm_former_cost,
+        sol_seconds,
+    )
+
+    # G0 fused PC+Doppler front, long segment (docs "Fused PC+Doppler
+    # former" table): ~132 MB HBM / 16.1 GFLOP per beam, 0.33 ms SOL for
+    # the 2-beam frame, compute-bound
+    g0 = fused_pc_rdm_cost(1, 1536, 504, 512, 2048)
+    assert round(g0["hbm_bytes"] / 1e6) == 132
+    assert round(g0["flops"] / 1e9, 1) == 16.1
+    frame = fused_pc_rdm_cost(2, 1536, 504, 512, 2048)
+    assert round(frame["sol_s"] * 1e3, 2) == 0.33
+    assert frame["flops"] / V5E_PEAK_F32 > frame["hbm_bytes"] / V5E_HBM_BPS
+
+    # fused CFAR over one G2 frame (bench sol_ms_v5e_fused_kernel source):
+    # 3 f32 planes + chunk halos ~0.66 GB -> ~0.81 ms, memory-bound
+    cfar = g2_frame_fused_cfar_projection()
+    assert round(cfar["hbm_bytes"] / 1e9, 2) == 0.66
+    assert round(cfar["sol_s"] * 1e3, 2) == 0.81
+    assert cfar["hbm_bytes"] / V5E_HBM_BPS > cfar["flops"] / V5E_PEAK_F32
+
+    # tiled-DFT RDM former on the G2 frame: the matmul-DFT trades FLOPs for
+    # locality, so it is compute-bound at ~2.6 ms
+    rdm = rdm_former_cost(52, 332, 3404)
+    assert round(rdm["sol_s"] * 1e3, 1) == 2.6
+    assert rdm["flops"] / V5E_PEAK_F32 > rdm["hbm_bytes"] / V5E_HBM_BPS
+
+    # model consistency: sol_seconds is the roofline max
+    assert cfar["sol_s"] == sol_seconds(cfar["flops"], cfar["hbm_bytes"])
+    # chunking halos: a forced narrow chunk strictly increases CFAR traffic
+    from radar_signal_process_tpu.config import CFARConfig
+
+    wide = cascaded_cfar_cost(4, 332, 3404, 14, CFARConfig(threshold=5.0))
+    narrow = cascaded_cfar_cost(4, 332, 3404, 14, CFARConfig(threshold=5.0),
+                                max_chunk=256)
+    assert narrow["hbm_bytes"] > wide["hbm_bytes"]
