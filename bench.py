@@ -727,6 +727,7 @@ def stage_sol_report(prof, repeat: int, host: np.ndarray) -> dict:
         fused_pc_rdm_cost,
         g2_frame_fused_cfar_projection,
         rdm_former_cost,
+        sharded_stream_comm_cost,
     )
 
     cfar_proj = g2_frame_fused_cfar_projection(prof)
@@ -748,6 +749,15 @@ def stage_sol_report(prof, repeat: int, host: np.ndarray) -> dict:
             ("rdm_former_g2_frame", rdm_proj),
             ("pc_rdm_g0_frame", g0_proj),
         )
+    }
+    # analytic multi-chip scaling proxy (BASELINE north star: >= 80%
+    # efficiency to 2 hosts): per-window collective bytes of the sharded
+    # stream vs per-chip compute SOL.  dp carries no per-window collective,
+    # so across a DCN host boundary the layout is dp-over-hosts with sp
+    # (and its all_to_all + CFAR halos) on intra-host ICI.
+    out["scaling_projection_v5e"] = {
+        f"dp{dp}xsp{sp}": sharded_stream_comm_cost(prof, dp=dp, sp=sp)
+        for dp, sp in ((1, 2), (2, 2), (2, 4))
     }
     return out
 

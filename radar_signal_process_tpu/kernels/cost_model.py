@@ -30,9 +30,10 @@ import math
 from radar_signal_process_tpu.config import CFARConfig
 
 # public v5e spec peaks, shared with bench.CHIP_PEAKS: 197 bf16 TFLOP/s
-# halved for f32, 819 GB/s HBM
+# halved for f32, 819 GB/s HBM, 1600 Gbps interchip interconnect per chip
 V5E_PEAK_F32 = 197e12 / 2
 V5E_HBM_BPS = 819e9
+V5E_ICI_BPS = 1600e9 / 8
 
 
 def sol_seconds(flops: float, hbm_bytes: float,
@@ -166,6 +167,76 @@ def fused_pc_rdm_cost(
     )
     return {"hbm_bytes": hbm_bytes, "flops": flops,
             "sol_s": sol_seconds(flops, hbm_bytes)}
+
+
+def sharded_stream_comm_cost(
+    prof=None,
+    dp: int = 1,
+    sp: int = 2,
+    win_size: int = 4,
+    n_clutter: int = 14,
+    cfg: CFARConfig | None = None,
+    ici_bw: float = V5E_ICI_BPS,
+) -> dict:
+    """Per-window collective traffic of ``parallel.make_sharded_stream`` on
+    a (dp, sp) mesh, and the projected multi-chip scaling efficiency.
+
+    Real multi-chip timing is impossible on the single-chip session relay,
+    so this is the analytic scaling proxy toward the BASELINE north star
+    (>= 80% efficiency to 2 hosts): collective bytes per window counted
+    from the sharded stream's actual program structure —
+
+    * ONE ``all_to_all`` re-shards the freshly compressed frame from
+      slow-time-sharded to range-sharded (``sharding.py::compress``): each
+      chip sends ``(sp-1)/sp`` of its (beams/dp, n_prt/sp, n_points)
+      complex64 shard;
+    * ONE halo ``ppermute`` pair in the cascaded CFAR exchanges
+      ``ref + guard + 2*extend`` edge columns per side over the used
+      velocity rows and ``win_size`` slices;
+    * ``dp`` is pure data parallelism — no per-window collective rides it,
+      which is why dp is the axis to place across the DCN host boundary
+      (sp and its collectives stay on intra-host ICI).
+
+    Compute per chip is the v5e roofline of the per-window stages
+    (memory-bound PC estimate + the RDM-former and fused-CFAR models)
+    divided across the mesh; efficiency is the conservative no-overlap
+    ratio ``compute / (compute + comm)``.
+    """
+    from radar_signal_process_tpu.config import G2_PROFILE
+
+    prof = prof or G2_PROFILE
+    cfg = cfg or CFARConfig(threshold=5.0)
+    n_beams, n_prt, n_pts = prof.n_beams, prof.prt_per_frame, prof.point_prt
+    n_chips = dp * sp
+
+    # all_to_all: per-chip send volume (complex64 compressed frame shard)
+    shard_elems = (n_beams / dp) * (n_prt / sp) * n_pts
+    a2a_bytes_chip = shard_elems * 8 * (sp - 1) / sp if sp > 1 else 0.0
+    # CFAR halo: h columns per side, both directions, f32 magnitude rows
+    h = cfg.ref_cells + cfg.guard_cells + 2 * cfg.range_extend_cells
+    nvu = (n_prt - n_clutter) - (n_clutter + 1)
+    halo_bytes_chip = (
+        (n_beams / dp) * win_size * nvu * h * 4 * 2 if sp > 1 else 0.0
+    )
+    comm_s = (a2a_bytes_chip + halo_bytes_chip) / ici_bw
+
+    # single-chip per-window compute SOL: PC is memory-bound (frame in +
+    # compressed out, complex64), then the RDM-former and fused-CFAR models
+    pc_bytes = 2 * n_beams * n_prt * n_pts * 8
+    pc_s = pc_bytes / V5E_HBM_BPS
+    rdm_s = rdm_former_cost(n_beams * win_size, n_prt, n_pts)["sol_s"]
+    cfar_s = cascaded_cfar_cost(n_beams * win_size, n_prt, n_pts,
+                                n_clutter, cfg)["sol_s"]
+    compute_chip_s = (pc_s + rdm_s + cfar_s) / n_chips
+    eff = compute_chip_s / (compute_chip_s + comm_s)
+    return {
+        "n_chips": n_chips,
+        "a2a_mb_per_chip": round(a2a_bytes_chip / 1e6, 2),
+        "halo_mb_per_chip": round(halo_bytes_chip / 1e6, 3),
+        "comm_ms": round(comm_s * 1e3, 4),
+        "compute_ms_per_chip": round(compute_chip_s * 1e3, 3),
+        "efficiency_pct": round(100.0 * eff, 1),
+    }
 
 
 def g2_frame_fused_cfar_projection(prof=None, n_clutter: int = 14,

@@ -449,3 +449,31 @@ def test_kernel_cost_models_pin_docs_table():
     narrow = cascaded_cfar_cost(4, 332, 3404, 14, CFARConfig(threshold=5.0),
                                 max_chunk=256)
     assert narrow["hbm_bytes"] > wide["hbm_bytes"]
+
+
+def test_sharded_stream_scaling_projection():
+    """The analytic scaling proxy (VERDICT r4 missing 5): collective bytes
+    per window from the sharded stream's actual program structure; the
+    >= 80%-efficiency north star holds through 16 chips, and dp carries no
+    per-window collective (the DCN-boundary axis)."""
+    from radar_signal_process_tpu.kernels.cost_model import (
+        sharded_stream_comm_cost,
+    )
+
+    for dp, sp in ((1, 2), (2, 2), (2, 4), (4, 4)):
+        c = sharded_stream_comm_cost(dp=dp, sp=sp)
+        assert c["n_chips"] == dp * sp
+        assert c["efficiency_pct"] >= 80.0, (dp, sp, c)
+        # the halo exchange is a rounding error next to the all_to_all
+        assert c["halo_mb_per_chip"] < 0.1 * c["a2a_mb_per_chip"]
+
+    # pure dp: embarrassingly parallel, zero per-window collective traffic
+    c_dp = sharded_stream_comm_cost(dp=4, sp=1)
+    assert c_dp["a2a_mb_per_chip"] == 0.0
+    assert c_dp["halo_mb_per_chip"] == 0.0
+    assert c_dp["efficiency_pct"] == 100.0
+    # doubling sp at fixed chips moves bytes from compute to comm:
+    # efficiency must not improve
+    e22 = sharded_stream_comm_cost(dp=2, sp=2)["efficiency_pct"]
+    e14 = sharded_stream_comm_cost(dp=1, sp=4)["efficiency_pct"]
+    assert e14 <= e22
