@@ -338,3 +338,32 @@ def test_streaming_soak_long_capture(tmp_path, rng):
     assert snap["frames_ingested"] == n_frames
     assert snap["windows_processed"] == n_frames - 1
     assert snap["cfar_hits"] == hits_sum
+
+
+def test_streaming_windowed_path_emission_modes(tmp_path, rng):
+    """The windowed iterator (TPU/mesh-style path, use_host_parallel=False)
+    honors the emission modes at the yield boundary."""
+    n_frames = 3
+    shape = (n_frames, SMALL.prt_per_frame, SMALL.point_prt, SMALL.n_channels)
+    iq = (rng.integers(-500, 500, shape)
+          + 1j * rng.integers(-500, 500, shape)).astype(np.complex128)
+    iq[:, :, 40, :] += 20000.0
+    write_g2_capture(str(tmp_path), iq, SMALL, data_type=1)
+
+    def run(emit):
+        pipe = StreamingPipeline(
+            G2FrameReader(str(tmp_path), SMALL), SMALL, win_size=2,
+            max_frames=n_frames, clutter_v=1e-6, max_detections=8,
+            use_host_parallel=False, emit=emit,
+        )
+        return list(pipe)
+
+    full = run("full")
+    det = run("detections")
+    assert [r.frame_idx for r in det] == [r.frame_idx for r in full]
+    for g, f in zip(det, full):
+        assert g.rdms is None and g.flags is None
+        assert g.cfar_hits == f.cfar_hits == int(np.asarray(f.flags).sum())
+        np.testing.assert_array_equal(
+            np.asarray(g.detections.valid), np.asarray(f.detections.valid)
+        )
