@@ -138,6 +138,61 @@ def make_split_detector(
     return detect
 
 
+def make_cascade_detector(
+    profile: RadarProfile,
+    n_clutter: int,
+    cfg: CFARConfig | None = None,
+    renotch_divisor: int | None = 20,
+    transposed: bool = False,
+    prefer_native: bool | None = None,
+):
+    """:func:`make_split_detector` with an optional native C++ backend.
+
+    The native cascade (``kernels/native/cfar.cpp``) is the fourth lockstep
+    CFAR implementation — bit-identical flags (``tests/test_native_cfar.py``)
+    with no XLA in the loop.  On the session host it measures at PARITY with
+    the jitted split form, both per item and inside the streaming chain
+    (BASELINE.md round 5), so the jitted form stays the default; pass
+    ``prefer_native=True`` or set ``RSP_NATIVE_CFAR=1`` to select it (e.g.
+    for jax-free CPU serving, or to keep the XLA intra-op pool free).
+    Transposed layout only; other layouts use the jitted form.
+    """
+    import os
+
+    cfg = cfg or profile.cfar
+    if prefer_native is None:
+        prefer_native = (
+            os.environ.get("RSP_NATIVE_CFAR") == "1"
+            and transposed
+            and jax.default_backend() == "cpu"
+        )
+    if prefer_native and transposed:
+        from radar_signal_process_tpu.kernels.native_cfar import (
+            make_native_cascade,
+            native_cfar_available,
+            notch_mask_shifted,
+            notch_mask_unshifted,
+        )
+
+        if native_cfar_available():
+            mask = None
+            if renotch_divisor:
+                n_v = profile.prt_per_frame
+                mask = (
+                    notch_mask_shifted(n_v, renotch_divisor)
+                    if profile.mtd.fftshift
+                    else notch_mask_unshifted(n_v, n_clutter)
+                )
+            return make_native_cascade(
+                n_clutter, cfg, segments=profile.cfar_segments or (),
+                notch_mask=mask,
+            )
+    return make_split_detector(
+        profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
+        transposed=transposed,
+    )
+
+
 def make_detector(
     profile: RadarProfile,
     n_clutter: int | None = None,

@@ -666,7 +666,7 @@ def make_cpu_stream_detector(
     import functools
     import itertools
 
-    from radar_signal_process_tpu.models.detect import make_split_detector
+    from radar_signal_process_tpu.models.detect import make_cascade_detector
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
     from radar_signal_process_tpu.ops.measure import extract_detections
 
@@ -678,7 +678,7 @@ def make_cpu_stream_detector(
                                 pulses=pulses)
     pc_fn = fns["pc_fn"]
 
-    split_det = make_split_detector(
+    split_det = make_cascade_detector(
         profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
         transposed=True,
     )
@@ -792,7 +792,7 @@ def make_cpu_stream_pipeline(
     """
     import functools
 
-    from radar_signal_process_tpu.models.detect import make_split_detector
+    from radar_signal_process_tpu.models.detect import make_cascade_detector
     from radar_signal_process_tpu.models.mtd_pipeline import window_slice_starts
     from radar_signal_process_tpu.ops.measure import (
         DetectionList,
@@ -808,7 +808,7 @@ def make_cpu_stream_pipeline(
     fns = make_stream_stage_fns(profile, stc_curve_db=stc_curve_db,
                                 pulses=pulses)
     pc_fn = fns["pc_fn"]
-    split_det = make_split_detector(
+    split_det = make_cascade_detector(
         profile, n_clutter, cfg=cfg, renotch_divisor=renotch_divisor,
         transposed=True,
     )
