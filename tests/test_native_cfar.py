@@ -171,3 +171,31 @@ def test_native_cascade_in_stream_pipeline(rng, monkeypatch):
         np.testing.assert_array_equal(got[w][2].valid, want[w][2].valid)
         np.testing.assert_array_equal(got[w][2].amplitude,
                                       want[w][2].amplitude)
+
+
+def test_native_cascade_random_config_fuzz(rng):
+    """Random (geometry, cfg, segments, notch) draws: native == jitted
+    exactly on every draw."""
+    for _ in range(8):
+        n_r = int(rng.integers(30, 200))
+        n_v = int(rng.integers(24, 80))
+        n_clutter = int(rng.integers(1, max(2, n_v // 6)))
+        cfg = CFARConfig(
+            ref_cells=int(rng.integers(1, 6)),
+            guard_cells=int(rng.integers(0, 8)),
+            threshold=float(rng.uniform(0.5, 6.0)),
+            method=int(rng.integers(0, 2)),
+            range_detect=bool(rng.integers(0, 2)),
+            range_extend_cells=int(rng.integers(1, 4)),
+        )
+        n_segs = int(rng.integers(1, 4))
+        cuts = sorted(rng.choice(np.arange(5, n_r - 5), size=n_segs - 1,
+                                 replace=False).tolist()) if n_segs > 1 else []
+        bounds = [0] + [int(c) for c in cuts] + [n_r]
+        segments = tuple(
+            (bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+        )
+        renotch = int(rng.choice([0, 8, 20]))
+        rdm_t = (rng.standard_normal((n_r, n_v)).astype(np.float32)) ** 2
+        _check(rdm_t, segments, cfg, n_clutter,
+               renotch=renotch or None)
