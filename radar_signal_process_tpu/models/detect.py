@@ -177,7 +177,9 @@ def make_cascade_detector(
         if native_cfar_available():
             mask = None
             if renotch_divisor:
-                n_v = profile.prt_per_frame
+                # Doppler-bin extent: the padded FFT length when the
+                # profile zero-pads (G0 class), else the CPI length
+                n_v = profile.mtd.fft_length or profile.prt_per_frame
                 mask = (
                     notch_mask_shifted(n_v, renotch_divisor)
                     if profile.mtd.fftshift
