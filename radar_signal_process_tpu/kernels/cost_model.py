@@ -103,14 +103,15 @@ def rdm_former_cost(
     (index ``(k, 0)``) is fetched once per (batch, k) and held across the
     range sweep; the PC block (index ``(i, 0, j)``) re-streams every step —
     the X-re-streamed-per-Doppler-tile cost the fused PC+RDM kernel
-    removes; the magnitude tile is written once per step.
+    removes; the magnitude tile is written once per step.  Tile selection
+    comes from the kernel's own ``select_tiles`` (single 8-aligned Doppler
+    tile when it fits — no power-of-two row padding waste).
     """
-    from radar_signal_process_tpu.kernels.rdm_pallas import _auto_tile
+    from radar_signal_process_tpu.kernels.rdm_pallas import select_tiles
 
     n_fft = n_fft or n_pulses
-    t = tile or _auto_tile(n_pulses, n_fft)
-    t = min(t, n_fft)
-    chunk = chunk or t
+    t, chunk = select_tiles(n_pulses, n_fft, tile, chunk,
+                            n_range=n_range)
     k_tiles = -(-n_fft // t)
     n_chunks = -(-n_range // chunk)
     padded_k = k_tiles * t

@@ -67,6 +67,50 @@ def _auto_tile(n: int, n_fft: int) -> int:
     return 64
 
 
+def select_tiles(
+    n: int,
+    n_fft: int,
+    tile_k: int | None = None,
+    max_chunk: int | None = None,
+    n_range: int | None = None,
+) -> tuple[int, int]:
+    """(Doppler tile, range chunk) for ``doppler_rdm_pallas``.
+
+    Preference order: explicit arguments; else a SINGLE 8-aligned Doppler
+    tile covering the whole (padded) n_fft extent when it fits the budget —
+    the power-of-two tile list padded the G2 geometry's 332 Doppler rows to
+    2 x 256 = 512, i.e. ~1.5x the real MXU flops AND a second full
+    re-stream of the PC data (the X block re-fetches per k-tile); the
+    single 336-row tile removes both.  The range chunk is then sized
+    independently to the largest 128-multiple filling the budget.  Falls
+    back to the square power-of-two tiling for large transforms (the G0
+    2048 x 1536 plane cannot be one tile).
+
+    Shared by the kernel and ``cost_model.rdm_former_cost`` so the bench
+    projection always mirrors the launch the kernel would actually make.
+    """
+    if tile_k is not None:
+        return min(tile_k, n_fft), (max_chunk or tile_k)
+    if max_chunk is not None:
+        return min(max_chunk, n_fft), max_chunk
+    one = -(-n_fft // 8) * 8                  # sublane-aligned single tile
+    base = one * n * 8                        # resident W re+im planes
+    if 2 * (base + n * 128 * 8 + one * 128 * 4) <= VMEM_BLOCK_BUDGET:
+        fits = [
+            c for c in (1024, 512, 384, 256, 128)
+            if 2 * (base + n * c * 8 + one * c * 4) <= VMEM_BLOCK_BUDGET
+        ] or [128]
+        if n_range is None:
+            chunk = fits[0]
+        else:
+            # among fitting chunks, minimize range padding (each padded
+            # column is wasted MXU work); ties go to the larger chunk
+            chunk = min(fits, key=lambda c: (-(-n_range // c) * c, -c))
+        return one, chunk
+    t = _auto_tile(n, n_fft)
+    return min(t, n_fft), t
+
+
 def doppler_rdm_pallas(
     pc: jnp.ndarray,
     window: np.ndarray,
@@ -96,9 +140,7 @@ def doppler_rdm_pallas(
         raise ValueError("window length mismatch")
 
     dft = _dft_matrix_rect(n_fft, n, shift, tuple(np.asarray(window).tolist()))
-    t = tile_k or max_chunk or _auto_tile(n, n_fft)
-    tile = min(t, n_fft)
-    chunk = max_chunk or t
+    tile, chunk = select_tiles(n, n_fft, tile_k, max_chunk, n_range=nr)
 
     if notch_divisor:
         hw = matlab_round(n_fft / notch_divisor)

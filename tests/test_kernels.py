@@ -435,10 +435,18 @@ def test_kernel_cost_models_pin_docs_table():
     assert cfar["hbm_bytes"] / V5E_HBM_BPS > cfar["flops"] / V5E_PEAK_F32
 
     # tiled-DFT RDM former on the G2 frame: the matmul-DFT trades FLOPs for
-    # locality, so it is compute-bound at ~2.6 ms
+    # locality, so it is compute-bound — 1.6 ms with the single 8-aligned
+    # Doppler tile (336 rows; the old power-of-two tiling padded 332 -> 512
+    # rows and re-streamed X per k-tile: 2.6 ms)
     rdm = rdm_former_cost(52, 332, 3404)
-    assert round(rdm["sol_s"] * 1e3, 1) == 2.6
+    assert round(rdm["sol_s"] * 1e3, 1) == 1.6
     assert rdm["flops"] / V5E_PEAK_F32 > rdm["hbm_bytes"] / V5E_HBM_BPS
+    # the selection helper the kernel and the model share
+    from radar_signal_process_tpu.kernels.rdm_pallas import select_tiles
+
+    assert select_tiles(332, 332, n_range=3404) == (336, 384)
+    assert select_tiles(1536, 2048, n_range=566)[0] <= 256  # G0: multi-tile
+    assert select_tiles(332, 332, tile_k=64) == (64, 64)    # explicit wins
 
     # model consistency: sol_seconds is the roofline max
     assert cfar["sol_s"] == sol_seconds(cfar["flops"], cfar["hbm_bytes"])
