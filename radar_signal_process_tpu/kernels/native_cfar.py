@@ -143,6 +143,12 @@ def make_native_cascade(
             raise ValueError(f"expected a 2-D transposed RDM, got {a.shape}")
         n_r, n_v = a.shape
         segs = list(segments) or [(0, n_r)]
+        for start, stop in segs:
+            # the C side indexes rows by these bounds unchecked
+            if not 0 <= start < stop <= n_r:
+                raise ValueError(
+                    f"segment ({start}, {stop}) outside the {n_r}-row RDM"
+                )
         seg_arr = np.ascontiguousarray(
             np.asarray(segs, np.int32).reshape(-1)
         )

@@ -199,3 +199,15 @@ def test_native_cascade_random_config_fuzz(rng):
         rdm_t = (rng.standard_normal((n_r, n_v)).astype(np.float32)) ** 2
         _check(rdm_t, segments, cfg, n_clutter,
                renotch=renotch or None)
+
+
+def test_native_cascade_rejects_bad_segments(rng):
+    """Out-of-range segment tables fail loud before reaching the C side."""
+    rdm_t = np.ones((20, 30), np.float32)
+    cfg = CFARConfig(ref_cells=2, guard_cells=1, threshold=2.0)
+    for segs in (((0, 25),), ((-2, 10),), ((10, 10),)):
+        native = make_native_cascade(2, cfg, segments=segs)
+        with pytest.raises(ValueError, match="segment"):
+            native(rdm_t)
+    with pytest.raises(ValueError, match="2-D"):
+        make_native_cascade(2, cfg)(np.ones((2, 20, 30), np.float32))
