@@ -101,6 +101,25 @@ class StreamingPipeline:
             # (parallel.make_sharded_stream) — the steady-state PC-reuse
             # structure of the host chain, expressed as sharded executables.
             import functools
+            import logging
+
+            # Cross-implementation parity floor (ops/cfar.py): below a
+            # cropped velocity extent of 2*(ref+guard)+1 cells, some cells
+            # have BOTH reference windows out of range, and the roll-form
+            # (sharded) and padded-form (host) edge fallbacks legitimately
+            # read different data — hit counts then differ between the mesh
+            # and host paths.  Real profiles (G2: 303 used rows) are far
+            # above it; warn loudly for toy geometries instead of letting
+            # the divergence pass silently.
+            nvu = profile.prt_per_frame - 2 * n_clutter - 1
+            span = 2 * (profile.cfar.ref_cells + profile.cfar.guard_cells)
+            if nvu <= span:
+                logging.getLogger("radar_tpu.streaming").warning(
+                    "mesh stream: cropped velocity extent %d <= 2*(ref+"
+                    "guard)=%d — below the CFAR cross-implementation parity"
+                    " floor; mesh and host hit counts may differ at window "
+                    "edges (ops/cfar.py)", nvu, span,
+                )
 
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -367,3 +367,26 @@ def test_streaming_windowed_path_emission_modes(tmp_path, rng):
         np.testing.assert_array_equal(
             np.asarray(g.detections.valid), np.asarray(f.detections.valid)
         )
+
+
+def test_mesh_stream_warns_below_parity_floor(rng, caplog):
+    """Toy geometries below the CFAR parity floor (cropped velocity extent
+    <= 2*(ref+guard)) warn loudly: the roll-form (sharded) and padded-form
+    (host) edge fallbacks legitimately diverge there (ops/cfar.py)."""
+    import logging
+
+    import jax
+
+    from radar_signal_process_tpu.parallel import make_mesh
+
+    prof = dataclasses.replace(SMALL, cfar_segments=())
+    mesh = make_mesh(("dp", "sp"), shape=(2, 4), devices=jax.devices())
+    with caplog.at_level(logging.WARNING, logger="radar_tpu.streaming"):
+        StreamingPipeline(None, prof, win_size=2, mesh=mesh, clutter_v=3.0)
+    assert any("parity floor" in r.message for r in caplog.records)
+    # real geometry: no warning
+    caplog.clear()
+    from radar_signal_process_tpu.config import G2_PROFILE
+    with caplog.at_level(logging.WARNING, logger="radar_tpu.streaming"):
+        StreamingPipeline(None, G2_PROFILE, win_size=2, mesh=mesh)
+    assert not any("parity floor" in r.message for r in caplog.records)
